@@ -1,0 +1,180 @@
+"""Configuration dataclasses for the FlexAM TPU stack.
+
+One typed config tree replaces the reference's three config layers (argparse +
+OmegaConf YAML + ComfyUI INPUT_TYPES schemas; see reference
+`config/wan2.2/wan_civitai_5b_FlexAM.yaml` and `FlexAM/utils/utils.py:17-21`
+`filter_kwargs` signature-filtering magic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    """Wan2.2 FlexAM DiT hyperparameters.
+
+    Mirrors reference `FlexAM/models/wan_transformer3d_FlexAM.py:537-566`
+    (`WanTransformer3DModel_FlexAM.__init__`), with the YAML `dict_mapping`
+    renames (`in_dim <- in_channels`, `dim <- hidden_size`) already applied.
+    """
+
+    model_type: str = "t2v"
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    text_len: int = 512
+    in_dim: int = 148          # x(48) + control(48) + mask(4) + masked video(48)
+    dim: int = 3072
+    ffn_dim: int = 14336
+    freq_dim: int = 256
+    text_dim: int = 4096
+    out_dim: int = 48
+    num_heads: int = 24
+    num_layers: int = 30
+    qk_norm: bool = True
+    cross_attn_norm: bool = True
+    eps: float = 1e-6
+    cross_attn_type: str = "t2v_cross_attn"
+    # FlexAM additions (`wan_civitai_5b_FlexAM.yaml:9-12`)
+    add_ref_conv: bool = True
+    in_dim_ref_conv: int = 48
+    add_cnn_block: bool = True
+    in_dim_cnn_block: int = 288   # control 48 + depth 48 + 4x cos 192
+    out_dim_cnn_block: int = 48
+    # Inner widths/groups of the 5-conv control-fusion CNN (hardcoded 192/96 and
+    # GroupNorm(24,.)/GroupNorm(12,.) in the reference,
+    # `wan_transformer3d_FlexAM.py:680-705`); configurable here for tiny tests.
+    cnn_block_dims: Tuple[int, int] = (192, 96)
+    cnn_block_groups: Tuple[int, int] = (24, 12)
+    add_control_adapter: bool = False
+    in_dim_control_adapter: int = 24
+    downscale_factor_control_adapter: int = 8
+    # RoPE table length (`wan_transformer3d_FlexAM.py:658-665`)
+    rope_max_seq: int = 1024
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    def __post_init__(self):
+        assert self.dim % self.num_heads == 0
+        assert (self.dim // self.num_heads) % 2 == 0
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """Wan2.2 3.8 causal video VAE (`FlexAM/models/wan_vae3_8.py:892-904`).
+
+    16x spatial (2x pixel patchify + 3 conv downs), 4x temporal, 48 latent ch.
+    """
+
+    latent_channels: int = 48
+    c_dim: int = 160            # encoder base width
+    dec_dim: int = 256          # decoder base width
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    temporal_downsample: Tuple[bool, ...] = (False, True, True)
+    temporal_compression_ratio: int = 4
+    spatial_compression_ratio: int = 16
+    dropout: float = 0.0
+
+
+@dataclass(frozen=True)
+class T5Config:
+    """umT5-XXL encoder (`config/wan2.2/wan_civitai_5b_FlexAM.yaml:20-32`)."""
+
+    vocab: int = 256384
+    dim: int = 4096
+    dim_attn: int = 4096
+    dim_ffn: int = 10240
+    num_heads: int = 64
+    num_layers: int = 24
+    num_buckets: int = 32
+    shared_pos: bool = False
+    dropout: float = 0.0
+    text_length: int = 512
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Flow-matching scheduler (`wan_civitai_5b_FlexAM.yaml:34-42`)."""
+
+    scheduler_type: str = "flow_match_euler"  # flow_match_euler|flow_unipc|flow_dpm
+    num_train_timesteps: int = 1000
+    shift: float = 5.0
+    use_dynamic_shifting: bool = False
+    solver_order: int = 2
+
+
+@dataclass(frozen=True)
+class FlexAMConfig:
+    """Top-level model wiring (equivalent of wan_civitai_5b_FlexAM.yaml)."""
+
+    dit: DiTConfig = field(default_factory=DiTConfig)
+    vae: VAEConfig = field(default_factory=VAEConfig)
+    t5: T5Config = field(default_factory=T5Config)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    # Timestep-MoE: optional second (high-noise) transformer selected when
+    # t >= boundary*num_train_timesteps (`pipeline...FlexAM.py:903-909`).
+    transformer_combination_type: str = "single"  # "single" | "moe"
+    boundary: float = 0.875
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "FlexAMConfig":
+        d = json.loads(s)
+        return cls(
+            dit=DiTConfig(**{**d["dit"], "patch_size": tuple(d["dit"]["patch_size"])}),
+            vae=VAEConfig(**{
+                **d["vae"],
+                "dim_mult": tuple(d["vae"]["dim_mult"]),
+                "temporal_downsample": tuple(d["vae"]["temporal_downsample"]),
+            }),
+            t5=T5Config(**d["t5"]),
+            scheduler=SchedulerConfig(**d["scheduler"]),
+            transformer_combination_type=d.get("transformer_combination_type", "single"),
+            boundary=d.get("boundary", 0.875),
+        )
+
+
+# The flagship preset: Wan2.2-Fun-5B-FLEXAM.
+WAN22_5B_FLEXAM = FlexAMConfig()
+
+
+def tiny_test_config() -> FlexAMConfig:
+    """A tiny config for CPU tests (BASELINE.json config 1 scale)."""
+    return FlexAMConfig(
+        dit=DiTConfig(
+            dim=96,
+            ffn_dim=256,
+            num_heads=4,
+            num_layers=2,
+            in_dim=28,          # x(8) + control(8) + mask(4) + masked(8)
+            out_dim=8,
+            in_dim_ref_conv=8,
+            in_dim_cnn_block=48,  # control 8 + depth 8 + 4x cos 32
+            out_dim_cnn_block=8,
+            cnn_block_dims=(16, 8),
+            cnn_block_groups=(4, 2),
+            text_dim=64,
+            freq_dim=32,
+            text_len=16,
+            rope_max_seq=64,
+        ),
+        vae=VAEConfig(
+            latent_channels=8,
+            c_dim=16,
+            dec_dim=16,
+            dim_mult=(1, 2, 4, 4),
+            num_res_blocks=1,
+        ),
+        t5=T5Config(
+            vocab=256, dim=64, dim_attn=64, dim_ffn=128, num_heads=4,
+            num_layers=2, num_buckets=32, shared_pos=False, text_length=16,
+        ),
+    )

@@ -1,0 +1,89 @@
+"""Attention dispatch for the DiT.
+
+TPU-native counterpart of the reference kernel ladder
+(`FlexAM/models/attention_utils.py:174-233`: FlashAttention-3 -> FA-2 ->
+SageAttention -> SDPA). Here the ladder is:
+
+  pallas  — Pallas TPU flash attention (`flexam_tpu/ops/flash_attention.py`)
+  xla     — fused XLA softmax attention (fp32 accumulation), CPU/GPU-safe
+
+selected by the `FLEXAM_ATTENTION` env var (mirrors `VIDEOX_ATTENTION_TYPE`,
+`attention_utils.py:191`) or automatically: Pallas on TPU, XLA elsewhere.
+
+Inputs use layout [B, L, H, D] like the reference `attention()`; `k_len`
+masks padded keys (the reference's varlen `k_lens` -> cu_seqlens path,
+`attention_utils.py:153-168`, collapsed to a static mask — TPU wants static
+shapes, so padding + masking replaces varlen packing).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _softmax_scale(head_dim: int) -> float:
+    return head_dim ** -0.5
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_len: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention: softmax(q k^T / sqrt(d)) v with fp32 softmax.
+
+    q: [B, Lq, H, D]; k, v: [B, Lk, H, D]; k_len: optional [B] int lengths.
+    """
+    if scale is None:
+        scale = _softmax_scale(q.shape[-1])
+    # full input precision on the MXU when inputs are fp32 (correctness path)
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=prec) * scale
+    if k_len is not None:
+        mask = jnp.arange(k.shape[1])[None, :] < k_len[:, None]   # [B, Lk]
+        logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32, precision=prec)
+    return out.astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _default_backend() -> str:
+    env = os.environ.get("FLEXAM_ATTENTION", "").lower()
+    if env in ("pallas", "xla"):
+        return env
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_len: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Dispatching attention over [B, L, H, D] tensors."""
+    backend = backend or _default_backend()
+    if backend == "pallas":
+        from flexam_tpu.ops.flash_attention import flash_attention
+
+        try:
+            return flash_attention(q, k, v, k_len=k_len, scale=scale)
+        except NotImplementedError:
+            return xla_attention(q, k, v, k_len=k_len, scale=scale)
+    return xla_attention(q, k, v, k_len=k_len, scale=scale)
