@@ -14,3 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+# This JAX build defaults to reduced matmul precision even on CPU; tests
+# verify fp32 algorithms, so force full precision (prod TPU paths feed bf16
+# inputs with fp32 accumulation and keep the fast default).
+jax.config.update("jax_default_matmul_precision", "highest")
