@@ -4,7 +4,10 @@ uses the same mechanism)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness pre-sets JAX_PLATFORMS=axon (one real TPU chip via tunnel);
+# unit tests want the 8-device virtual CPU mesh. FLEXAM_TEST_PLATFORM=axon
+# opts back into running the suite on the real chip.
+os.environ["JAX_PLATFORMS"] = os.environ.get("FLEXAM_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -10,7 +10,10 @@ as ground truth for parity tests.
 
 from __future__ import annotations
 
+import enum
+import functools
 import importlib.util
+import inspect
 import sys
 import types
 
@@ -40,10 +43,25 @@ def _install_diffusers_stub():
     acc = _mk("diffusers.utils.accelerate_utils")
 
     class ConfigMixin:
-        pass
+        @property
+        def config(self):
+            return types.SimpleNamespace(**self._internal_dict)
 
-    def register_to_config(fn):
-        return fn
+        def register_to_config(self, **kwargs):
+            if not hasattr(self, "_internal_dict"):
+                self._internal_dict = {}
+            self._internal_dict.update(kwargs)
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def wrapper(self, *args, **kwargs):
+            sig = inspect.signature(init)
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            self._internal_dict = {
+                k: v for k, v in bound.arguments.items() if k != "self"}
+            init(self, *args, **kwargs)
+        return wrapper
 
     class FromOriginalModelMixin:
         pass
@@ -57,6 +75,33 @@ def _install_diffusers_stub():
 
     def apply_forward_hook(fn):
         return fn
+
+    schedulers = _mk("diffusers.schedulers")
+    sched_utils = _mk("diffusers.schedulers.scheduling_utils")
+    torch_utils = _mk("diffusers.utils.torch_utils")
+
+    class KarrasDiffusionSchedulers(enum.Enum):
+        pass
+
+    class SchedulerMixin:
+        pass
+
+    class SchedulerOutput:
+        def __init__(self, prev_sample=None):
+            self.prev_sample = prev_sample
+
+    def deprecate(*args, **kwargs):
+        pass
+
+    sched_utils.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+    sched_utils.SchedulerMixin = SchedulerMixin
+    sched_utils.SchedulerOutput = SchedulerOutput
+    schedulers.scheduling_utils = sched_utils
+    diffusers.schedulers = schedulers
+    utils.deprecate = deprecate
+    utils.is_scipy_available = lambda: False
+    torch_utils.randn_tensor = None
+    utils.torch_utils = torch_utils
 
     cfg_utils.ConfigMixin = ConfigMixin
     cfg_utils.register_to_config = register_to_config
