@@ -1,0 +1,86 @@
+"""Benchmark: flagship FlexAM DiT denoise throughput on the attached chip.
+
+Prints ONE JSON line:
+  {"metric": "denoise_steps_per_sec_per_chip", "value": N,
+   "unit": "steps/s", "vs_baseline": N}
+
+The workload is the reference default (SURVEY.md §2.7): Wan2.2-Fun-5B DiT,
+512x896x97 frames -> latent [48, 25, 32, 56] -> 11,648 tokens (incl. 448
+ref tokens), CFG pair batched as 2, bf16. One "step" = one full CFG
+denoise iteration (2 transformer forwards batched).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); we report
+against the driver north-star of 50 steps in <60 s on v5p-8, i.e.
+0.833 steps/s aggregate -> per-chip target 0.104 steps/s.
+"""
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flexam_tpu.config import WAN22_5B_FLEXAM
+    from flexam_tpu.models.dit import (dit_forward, init_dit_params,
+                                       make_rope_tables_for)
+    from flexam_tpu.sampling import build_schedule
+    from flexam_tpu.sampling.flow_match import (sampler_init_state,
+                                                sampler_step, schedule_arrays)
+
+    cfg = WAN22_5B_FLEXAM.dit
+    key = jax.random.PRNGKey(0)
+    params = init_dit_params(key, cfg, dtype=jnp.bfloat16)
+    rope = jnp.asarray(make_rope_tables_for(cfg), jnp.float32)
+
+    b, c, f, h, w = 1, 48, 25, 32, 56      # 512x896x97f latents
+    guidance = 6.0
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, c, f, h, w), jnp.float32)
+    y = jnp.zeros((2 * b, 100, f, h, w), jnp.bfloat16)
+    additional = jnp.zeros((2 * b, 240, f, h, w), jnp.bfloat16)
+    ref = jnp.zeros((2 * b, c, h, w), jnp.bfloat16)
+    context = (jax.random.normal(jax.random.PRNGKey(2),
+                                 (2 * b, cfg.text_len, cfg.text_dim))
+               * 0.02).astype(jnp.bfloat16)
+    density = jnp.full((2 * b,), 0.1, jnp.float32)
+
+    tables = build_schedule("flow_match_euler", 50, shift=5.0)
+    sched = schedule_arrays(tables)
+
+    @jax.jit
+    def denoise_step(state, i):
+        x = state[0]
+        xb = jnp.tile(x.astype(jnp.bfloat16), (2, 1, 1, 1, 1))
+        t = jnp.full((2 * b,), sched["timesteps"][i], jnp.float32)
+        pred = dit_forward(params, cfg, xb, t, context, density=density,
+                           y=y, additional_control=additional, full_ref=ref,
+                           rope_tables=rope)
+        v = pred[0:1] + guidance * (pred[1:2] - pred[0:1])
+        state, _ = sampler_step(sched, False, state, v.astype(jnp.float32), i)
+        return state
+
+    state = sampler_init_state(x0, tables.order)
+    # compile + warmup
+    state = denoise_step(state, jnp.int32(0))
+    jax.block_until_ready(state)
+
+    n_steps = 5
+    t0 = time.perf_counter()
+    for i in range(1, n_steps + 1):
+        state = denoise_step(state, jnp.int32(i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    target_per_chip = 50.0 / 60.0 / 8.0   # north star spread over 8 chips
+    print(json.dumps({
+        "metric": "denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / target_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,7 @@ from flexam_tpu.core.layers import (
     sinusoidal_embedding_1d,
 )
 from flexam_tpu.core.rope import apply_rope, build_video_rope, make_rope_tables
+from flexam_tpu.parallel.sharding import token_constraint
 
 
 # ---------------------------------------------------------------------------
@@ -422,11 +423,17 @@ def dit_forward(
     ctx = linear(context.astype(compute_dtype), params["text_embedding"]["fc1"])
     ctx = linear(gelu_tanh(ctx), params["text_embedding"]["fc2"])
 
+    # sequence-parallel sharding of the token axis (replaces the reference's
+    # manual chunk/all_gather over NCCL, `:971-975,1103-1104`); no-op
+    # without an active mesh
+    tokens = token_constraint(tokens, ("dp", "sp", None))
+
     residual_input = tokens
 
     # --- block stack under scan (`:1052-1089`)
     def body(carry, bp):
         out = _block_forward(bp, carry, e0, de0, cos, sin, ctx, cfg, attn_fn)
+        out = token_constraint(out, ("dp", "sp", None))
         return out, None
 
     tokens, _ = jax.lax.scan(body, tokens, params["blocks"])

@@ -1,0 +1,449 @@
+"""FlexAM generation pipeline, TPU-native.
+
+Behavioral reference: `FlexAM/pipeline/pipeline_wan2_2_fun_control_FlexAM.py`
+(`Wan2_2FunControlPipeline_FlexAM.__call__`, :505-965).
+
+TPU-first structure — three jitted stages instead of a python step loop:
+  1. `prepare`: ALL VAE encodes in one batched call (the reference loops
+     7 separate bs=1 encodes: masked video, control, depth, 4 cos levels,
+     :647-827) + mask-latent construction;
+  2. `denoise`: the full N-step CFG loop as one `lax.scan` — CFG pair on
+     the batch axis, sampler as linear coefficient tables
+     (flexam_tpu.sampling), per-token timesteps for the TI2V known-region
+     masking (:891-898), known-latent reinjection (:937-938), optional
+     timestep-MoE boundary split (:903-909) realized as two consecutive
+     scans over statically-partitioned step ranges, and CFG-skip
+     (`cfg_optimization.py`) as a cond-only tail scan;
+  3. `decode`: whole-clip VAE decode.
+
+Everything data-dependent in the reference (`mask_video == 255` check,
+first-frame-known check :683-686) is resolved host-side from the inputs
+before tracing, so the compiled graphs are static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexam_tpu.config import FlexAMConfig
+from flexam_tpu.models.dit import dit_forward, make_rope_tables_for
+from flexam_tpu.models.t5 import t5_encode
+from flexam_tpu.models.vae import vae_decode, vae_encode_mode
+from flexam_tpu.core.attention import attention as default_attention
+from flexam_tpu.sampling import build_schedule
+from flexam_tpu.sampling.flow_match import (sampler_init_state, sampler_step,
+                                            schedule_arrays)
+
+
+# ---------------------------------------------------------------------------
+# Host-side image/mask utilities
+# ---------------------------------------------------------------------------
+
+def resize_trilinear(x: jnp.ndarray, size: Tuple[int, int, int],
+                     align_corners: bool = False) -> jnp.ndarray:
+    """torch F.interpolate(mode='trilinear') over [B, C, T, H, W]."""
+    if align_corners:
+        def axis_resize(arr, axis, out_n):
+            in_n = arr.shape[axis]
+            if in_n == out_n:
+                return arr
+            if out_n == 1 or in_n == 1:
+                idx = jnp.zeros((out_n,), jnp.int32)
+                return jnp.take(arr, idx, axis=axis)
+            pos = jnp.arange(out_n) * (in_n - 1) / (out_n - 1)
+            lo = jnp.floor(pos).astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, in_n - 1)
+            w = (pos - lo).astype(arr.dtype)
+            shape = [1] * arr.ndim
+            shape[axis] = out_n
+            w = w.reshape(shape)
+            return (jnp.take(arr, lo, axis=axis) * (1 - w)
+                    + jnp.take(arr, hi, axis=axis) * w)
+
+        y = x
+        for ax, n in zip((2, 3, 4), size):
+            y = axis_resize(y, ax, n)
+        return y
+    # half-pixel centers == align_corners=False == jax.image 'linear'
+    b, c = x.shape[:2]
+    return jax.image.resize(x, (b, c) + tuple(size), method="trilinear")
+
+
+def resize_mask_like_reference(mask: jnp.ndarray,
+                               latent_shape: Tuple[int, int, int]
+                               ) -> jnp.ndarray:
+    """`resize_mask(..., process_first_frame_only=True)`
+    (`pipeline...FlexAM.py:100-130`): frame 0 and frames 1.. are resized
+    separately so the first latent frame sees only pixel frame 0."""
+    t, h, w = latent_shape
+    first = resize_trilinear(mask[:, :, 0:1], (1, h, w))
+    if t > 1:
+        rest = resize_trilinear(mask[:, :, 1:], (t - 1, h, w))
+        return jnp.concatenate([first, rest], axis=2)
+    return first
+
+
+def group_mask_to_latent_channels(mask: jnp.ndarray) -> jnp.ndarray:
+    """First frame repeated 4x, then frames folded into 4 channels
+    (`pipeline...FlexAM.py:675-684`). mask: [B, 1, T, H, W] -> [B, 4, T', H, W]."""
+    b, _, t, h, w = mask.shape
+    m = jnp.concatenate(
+        [jnp.repeat(mask[:, :, 0:1], 4, axis=2), mask[:, :, 1:]], axis=2)
+    tt = m.shape[2]
+    m = m.reshape(b, tt // 4, 4, h, w)
+    return m.transpose(0, 2, 1, 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FlexAMModels:
+    """Parameter bundle for one generation setup."""
+    cfg: FlexAMConfig
+    dit_params: dict
+    vae_params: dict
+    t5_params: Optional[dict] = None
+    dit2_params: Optional[dict] = None   # high-noise expert (timestep MoE)
+
+
+# `pipelines.py:1170` — the reference's hardcoded default negative prompt.
+DEFAULT_NEGATIVE_PROMPT = (
+    "Bright tones, overexposed, static, blurred details, subtitles, style, "
+    "works, paintings, images, static, overall gray, worst quality, low "
+    "quality, JPEG compression residue, ugly, incomplete, extra fingers, "
+    "poorly drawn hands, poorly drawn faces, deformed, disfigured, "
+    "misshapen limbs, fused fingers, still picture, messy background, "
+    "three legs, many people in the background, walking backwards"
+)
+
+
+class FlexAMGenerationPipeline:
+    """Functional-core pipeline. All model math happens inside three jits;
+    this class only resolves static structure host-side."""
+
+    def __init__(self, models: FlexAMModels, tokenizer=None,
+                 compute_dtype=jnp.bfloat16, attn_fn=None):
+        self.models = models
+        self.cfg = models.cfg
+        self.tokenizer = tokenizer
+        self.compute_dtype = compute_dtype
+        self.attn_fn = attn_fn or default_attention
+        self.rope_tables = jnp.asarray(
+            make_rope_tables_for(models.cfg.dit), jnp.float32)
+
+    # -- prompts ------------------------------------------------------------
+
+    def tokenize(self, prompts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """umT5 tokenization, max_length pad/truncate to text_length
+        (`pipeline...FlexAM.py:205-213`)."""
+        enc = self.tokenizer(
+            prompts, padding="max_length",
+            max_length=self.cfg.t5.text_length, truncation=True,
+            add_special_tokens=True, return_tensors="np")
+        return enc["input_ids"].astype(np.int32), \
+            enc["attention_mask"].astype(np.int32)
+
+    def encode_prompt(self, prompt: str,
+                      negative_prompt: Optional[str] = None,
+                      do_cfg: bool = True) -> jnp.ndarray:
+        """Returns context [2 or 1, text_len, text_dim]: [uncond, cond]
+        order (`in_prompt_embeds = negative + prompt`, :598-601). Padded
+        positions are ZEROED (the reference trims per-prompt and the
+        transformer re-pads with zeros, :219-232 + transformer :957-964)."""
+        if negative_prompt is None:
+            negative_prompt = DEFAULT_NEGATIVE_PROMPT
+        prompts = ([negative_prompt, prompt] if do_cfg else [prompt])
+        ids, mask = self.tokenize(prompts)
+        return self.encode_prompt_ids(ids, mask)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def encode_prompt_ids(self, ids: jnp.ndarray,
+                          mask: jnp.ndarray) -> jnp.ndarray:
+        emb = t5_encode(self.models.t5_params, self.cfg.t5, ids, mask)
+        return (emb * mask[:, :, None]).astype(self.compute_dtype)
+
+    # -- VAE stages ----------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _encode_clips(self, clips: jnp.ndarray) -> jnp.ndarray:
+        """Batched encode of N same-shape clips [N, 3, T, H, W] in [-1,1]."""
+        return vae_encode_mode(self.models.vae_params, self.cfg.vae, clips)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        return vae_decode(self.models.vae_params, self.cfg.vae,
+                          latents.astype(self.compute_dtype))
+
+    # -- conditioning --------------------------------------------------------
+
+    def prepare_conditioning(
+        self,
+        video: np.ndarray,                 # [1, 3, T, H, W] in [0,1]
+        mask_video: Optional[np.ndarray],  # [1, 1, T, H, W] in [0,1]; None=all-generate
+        control_video: Optional[np.ndarray],
+        depth_video: Optional[np.ndarray],
+        cos_videos: Optional[Sequence[np.ndarray]],
+        ref_image: Optional[np.ndarray],   # [1, 3, 1, H, W] in [0,1]
+    ) -> Dict[str, jnp.ndarray]:
+        """VAE-encode every conditioning stream (one batched call) and build
+        the latent masks. Mirrors `pipeline...FlexAM.py:643-830`."""
+        cfgv = self.cfg.vae
+        b, _, t, h, w = video.shape
+        assert b == 1, "reference semantics are per-sample; vmap upstream"
+        lt = (t - 1) // cfgv.temporal_compression_ratio + 1
+        lh = h // cfgv.spatial_compression_ratio
+        lw = w // cfgv.spatial_compression_ratio
+        dt = self.compute_dtype
+
+        video = jnp.asarray(video, jnp.float32)
+        to_enc = []
+
+        # masked video (`:662-673`)
+        if mask_video is not None:
+            mask01 = (jnp.asarray(mask_video, jnp.float32) > 0.5
+                      ).astype(jnp.float32)
+            # the reference masks AFTER [-1,1] normalization, so masked
+            # pixels are 0 = mid-gray (`:662`)
+            masked_video = (video * 2.0 - 1.0) * (mask01 < 0.5)
+        else:
+            mask01 = jnp.ones((1, 1, t, h, w), jnp.float32)
+            masked_video = jnp.zeros_like(video)
+        to_enc.append(masked_video)
+
+        def norm(v):
+            return jnp.asarray(v, jnp.float32) * 2.0 - 1.0
+
+        to_enc.append(norm(control_video) if control_video is not None
+                      else jnp.zeros_like(video))
+        to_enc.append(norm(depth_video) if depth_video is not None
+                      else jnp.zeros_like(video))
+        n_cos = len(cos_videos) if cos_videos else 0
+        if cos_videos:
+            to_enc.extend(norm(v) for v in cos_videos)
+
+        lat = self._encode_clips(jnp.concatenate(to_enc, axis=0))
+        idx = 0
+        masked_video_latents = lat[idx:idx + 1]; idx += 1
+        control_latents = lat[idx:idx + 1]; idx += 1
+        depth_latents = lat[idx:idx + 1]; idx += 1
+        cos_latents = (lat[idx:idx + n_cos].transpose(1, 0, 2, 3, 4)
+                       .reshape(1, -1, lt, lh, lw) if n_cos else None)
+
+        if mask_video is not None:
+            grouped = group_mask_to_latent_channels(mask01)   # [1,4,T',H,W]
+            mask_latents = resize_mask_like_reference(
+                1.0 - grouped, (lt, lh, lw))
+            # TI2V latent-space mask (`:683-686`), align_corners=True
+            mask_ti2v = resize_trilinear(grouped[:, :1], (lt, lh, lw),
+                                         align_corners=True)
+        else:
+            # mask_video == 255 path (`:645-655`): zeros mask latents,
+            # zero masked video, all-ones TI2V mask
+            mask_latents = jnp.zeros((1, 4, lt, lh, lw), jnp.float32)
+            masked_video_latents = jnp.zeros_like(masked_video_latents)
+            mask_ti2v = jnp.ones((1, 1, lt, lh, lw), jnp.float32)
+
+        # first-frame-known trick (`:684-686`): host-static decision
+        first_frame_known = bool(
+            np.asarray(mask_ti2v[:, :, 0]).max() == 0.0)
+        if first_frame_known:
+            m = mask_ti2v.at[:, :, 1:].set(1.0)
+        else:
+            m = mask_ti2v
+
+        if ref_image is not None:
+            ref_lat = vae_encode_mode(
+                self.models.vae_params, self.cfg.vae,
+                norm(jnp.asarray(ref_image, jnp.float32)))[:, :, 0]
+        else:
+            ref_lat = jnp.zeros((1, cfgv.latent_channels, lh, lw), jnp.float32)
+
+        additional = (jnp.concatenate([depth_latents, cos_latents], axis=1)
+                      if cos_latents is not None else
+                      jnp.concatenate(
+                          [depth_latents,
+                           jnp.zeros((1, 4 * cfgv.latent_channels, lt, lh, lw),
+                                     depth_latents.dtype)], axis=1))
+
+        return {
+            "per_token_t": mask_video is not None,
+            "control_latents": control_latents.astype(dt),
+            "mask_latents": mask_latents.astype(dt),
+            "masked_video_latents": masked_video_latents.astype(dt),
+            "additional_control": additional.astype(dt),
+            "ref_latents": ref_lat.astype(dt),
+            "mask_ti2v": m.astype(jnp.float32),
+            "first_frame_known": first_frame_known,
+            "latent_shape": (cfgv.latent_channels, lt, lh, lw),
+        }
+
+    # -- denoise -------------------------------------------------------------
+
+    def denoise(
+        self,
+        cond: Dict,
+        context: jnp.ndarray,              # [2, text_len, text_dim]
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        seed: int = 1245644,
+        scheduler_type: Optional[str] = None,
+        shift: Optional[float] = None,
+        density: Optional[float] = None,
+        cfg_skip_ratio: float = 0.0,
+        latents: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """The 50-step CFG loop as scan(s) inside jit."""
+        scfg = self.cfg.scheduler
+        tables = build_schedule(
+            scheduler_type or scfg.scheduler_type,
+            num_inference_steps,
+            shift=shift if shift is not None else scfg.shift,
+            num_train_timesteps=scfg.num_train_timesteps,
+            solver_order=scfg.solver_order)
+
+        c, lt, lh, lw = cond["latent_shape"]
+        if latents is None:
+            key = jax.random.PRNGKey(seed)
+            latents = jax.random.normal(key, (1, c, lt, lh, lw), jnp.float32)
+
+        # static step partition for the timestep-MoE boundary (`:903-909`)
+        boundary_t = self.cfg.boundary * scfg.num_train_timesteps
+        use_moe = self.models.dit2_params is not None
+        high_steps = int(np.sum(tables.timesteps >= boundary_t)) if use_moe else 0
+        # cfg-skip: drop uncond for the last ratio fraction
+        # (`cfg_optimization.py:5-39`)
+        skip_from = (num_inference_steps
+                     - int(cfg_skip_ratio * num_inference_steps)
+                     if cfg_skip_ratio > 0 else num_inference_steps)
+
+        do_cfg = guidance_scale > 1.0 and context.shape[0] == 2
+
+        latents = self._denoise_jit(
+            latents, cond["control_latents"], cond["mask_latents"],
+            cond["masked_video_latents"], cond["additional_control"],
+            cond["ref_latents"], cond["mask_ti2v"], context,
+            schedule_arrays(tables), float(guidance_scale),
+            float(density) if density is not None else 0.0,
+            bool(cond["first_frame_known"]), high_steps, skip_from, do_cfg,
+            tables.order, tables.convert, tables.num_steps,
+            density is not None, bool(cond.get("per_token_t", True)))
+        return latents
+
+    @partial(jax.jit,
+             static_argnums=(0, 12, 13, 14, 15, 16, 17, 18, 19, 20))
+    def _denoise_jit(self, latents, control_latents, mask_latents,
+                     masked_video_latents, additional_control, ref_latents,
+                     mask_ti2v, context, sched, guidance_scale, density,
+                     first_frame_known, high_steps, skip_from, do_cfg,
+                     solver_order, solver_convert, n, has_density,
+                     per_token_t):
+        cfg = self.cfg.dit
+        dt = self.compute_dtype
+        timesteps = sched["timesteps"]
+
+        # y = control(48) ++ mask(4) ++ masked video(48)  (`:868-875`)
+        y_single = jnp.concatenate(
+            [control_latents, mask_latents.astype(dt),
+             masked_video_latents], axis=1)
+
+        # per-token timestep pattern (`:891-898`): latent mask subsampled by
+        # the 2x2 patch; tokens of known content get timestep 0
+        c_lat, lt, lh, lw = latents.shape[1:]
+        seq_len = lt * (lh // cfg.patch_size[1]) * (lw // cfg.patch_size[2])
+        tok_pattern = mask_ti2v[0, 0, :, ::cfg.patch_size[1],
+                                ::cfg.patch_size[2]].reshape(-1)
+        tok_pattern = jnp.concatenate(
+            [tok_pattern,
+             jnp.ones((seq_len - tok_pattern.shape[0],), jnp.float32)])
+
+        if first_frame_known:
+            latents = ((1 - mask_ti2v) * masked_video_latents.astype(jnp.float32)
+                       + mask_ti2v * latents)
+
+        def velocity(params, x, t_scalar, ctx, batch):
+            """One transformer forward, batch = 1 (cond) or 2 (CFG pair)."""
+            xb = jnp.tile(x.astype(dt), (batch, 1, 1, 1, 1))
+            yb = jnp.tile(y_single, (batch, 1, 1, 1, 1))
+            acb = jnp.tile(additional_control, (batch, 1, 1, 1, 1))
+            refb = jnp.tile(ref_latents, (batch, 1, 1, 1))
+            if per_token_t:
+                t_in = jnp.repeat((tok_pattern * t_scalar)[None], batch, 0)
+            else:
+                t_in = jnp.full((batch,), t_scalar, jnp.float32)
+            dens = (jnp.full((batch,), density, jnp.float32)
+                    if has_density else None)
+            return dit_forward(
+                params, cfg, xb, t_in, ctx, density=dens, y=yb,
+                additional_control=acb, full_ref=refb,
+                rope_tables=self.rope_tables, attn_fn=self.attn_fn)
+
+        def make_body(params, with_cfg):
+            def body(state, i):
+                x = state[0]
+                t_scalar = timesteps[i]
+                if with_cfg:
+                    pred = velocity(params, x, t_scalar, context, 2)
+                    uncond, cond_p = pred[0:1], pred[1:2]
+                    v = uncond + guidance_scale * (cond_p - uncond)
+                else:
+                    pred = velocity(params, x, t_scalar, context[-1:], 1)
+                    v = pred
+                state, x_next = sampler_step(
+                    sched, solver_convert, state, v.astype(jnp.float32), i)
+                if first_frame_known:
+                    x_next = ((1 - mask_ti2v)
+                              * masked_video_latents.astype(jnp.float32)
+                              + mask_ti2v * x_next)
+                    state = (x_next,) + state[1:]
+                return state, None
+            return body
+
+        state = sampler_init_state(latents, solver_order)
+        # segments: [0, high_steps) on dit2 (high noise), then dit; within
+        # each, CFG until skip_from then cond-only
+        segments = []
+        bounds = sorted({0, high_steps, min(skip_from, n), n})
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if a >= b:
+                continue
+            params = (self.models.dit2_params
+                      if b <= high_steps else self.models.dit_params)
+            with_cfg = do_cfg and a < skip_from
+            segments.append((a, b, params, with_cfg))
+        for a, b, params, with_cfg in segments:
+            state, _ = jax.lax.scan(make_body(params, with_cfg), state,
+                                    jnp.arange(a, b))
+        return state[0]
+
+    # -- full generate --------------------------------------------------------
+
+    def generate(self, video, prompt, mask_video=None, control_video=None,
+                 depth_video=None, cos_videos=None, ref_image=None,
+                 negative_prompt=None, num_inference_steps=50,
+                 guidance_scale=6.0, seed=1245644, density=None,
+                 scheduler_type=None, cfg_skip_ratio=0.0,
+                 output_type="np") -> np.ndarray:
+        """demo-equivalent end-to-end call. video in [0,1], [1,3,T,H,W]."""
+        context = self.encode_prompt(prompt, negative_prompt,
+                                     do_cfg=guidance_scale > 1.0)
+        cond = self.prepare_conditioning(video, mask_video, control_video,
+                                         depth_video, cos_videos, ref_image)
+        latents = self.denoise(cond, context,
+                               num_inference_steps=num_inference_steps,
+                               guidance_scale=guidance_scale, seed=seed,
+                               density=density,
+                               scheduler_type=scheduler_type,
+                               cfg_skip_ratio=cfg_skip_ratio)
+        if output_type == "latent":
+            return np.asarray(latents)
+        out = self._decode(latents)
+        return np.asarray((out.astype(jnp.float32) + 1.0) / 2.0)

@@ -393,39 +393,53 @@ def build_schedule(
 # Device-side sampler
 # ---------------------------------------------------------------------------
 
-def make_sampler(tables: ScheduleTables):
-    """Returns (init_state, step) scan-compatible functions.
+def schedule_arrays(tables: ScheduleTables) -> dict:
+    """The device-side view of a schedule: a plain pytree of fp32 arrays
+    (safe to pass through jit boundaries)."""
+    return {
+        "sigmas": jnp.asarray(tables.sigmas, jnp.float32),
+        "timesteps": jnp.asarray(tables.timesteps, jnp.float32),
+        "c_x": jnp.asarray(tables.c_x, jnp.float32),
+        "c_last": jnp.asarray(tables.c_last, jnp.float32),
+        "c_mt": jnp.asarray(tables.c_mt, jnp.float32),
+        "c_hist": jnp.asarray(tables.c_hist, jnp.float32),
+        "p_x": jnp.asarray(tables.p_x, jnp.float32),
+        "p_mt": jnp.asarray(tables.p_mt, jnp.float32),
+        "p_hist": jnp.asarray(tables.p_hist, jnp.float32),
+    }
 
-    state = (x fp32, last_x fp32, hist [K, ...] fp32)
-    step(state, velocity, i) -> (state', x_next)
-    `i` may be a traced int32 (tables are gathered on device).
-    """
-    k = tables.order
-    sig = jnp.asarray(tables.sigmas, jnp.float32)
-    c_x = jnp.asarray(tables.c_x, jnp.float32)
-    c_last = jnp.asarray(tables.c_last, jnp.float32)
-    c_mt = jnp.asarray(tables.c_mt, jnp.float32)
-    c_hist = jnp.asarray(tables.c_hist, jnp.float32)
-    p_x = jnp.asarray(tables.p_x, jnp.float32)
-    p_mt = jnp.asarray(tables.p_mt, jnp.float32)
-    p_hist = jnp.asarray(tables.p_hist, jnp.float32)
-    convert = tables.convert
+
+def sampler_init_state(x0: jnp.ndarray, order: int):
+    """state = (x fp32, last_x fp32, hist [order, ...] fp32)."""
+    xf = x0.astype(jnp.float32)
+    return (xf, xf, jnp.zeros((order,) + x0.shape, jnp.float32))
+
+
+def sampler_step(arrays: dict, convert: bool, state, velocity: jnp.ndarray,
+                 i: jnp.ndarray):
+    """One solver step; `i` may be traced (coefficients gathered on device)."""
+    x, last_x, hist = state
+    v = velocity.astype(jnp.float32)
+    m_t = x - arrays["sigmas"][i] * v if convert else v
+    x_corr = (arrays["c_x"][i] * x + arrays["c_last"][i] * last_x
+              + arrays["c_mt"][i] * m_t
+              + jnp.tensordot(arrays["c_hist"][i], hist, axes=1))
+    x_next = (arrays["p_x"][i] * x_corr + arrays["p_mt"][i] * m_t
+              + jnp.tensordot(arrays["p_hist"][i], hist, axes=1))
+    hist = jnp.concatenate([m_t[None], hist[:-1]], axis=0)
+    return (x_next, x_corr, hist), x_next
+
+
+def make_sampler(tables: ScheduleTables):
+    """Returns (init_state, step) scan-compatible closures over the tables."""
+    arrays = schedule_arrays(tables)
+    order, convert = tables.order, tables.convert
 
     def init_state(x0: jnp.ndarray):
-        xf = x0.astype(jnp.float32)
-        hist = jnp.zeros((k,) + x0.shape, jnp.float32)
-        return (xf, xf, hist)
+        return sampler_init_state(x0, order)
 
     def step(state, velocity: jnp.ndarray, i: jnp.ndarray):
-        x, last_x, hist = state
-        v = velocity.astype(jnp.float32)
-        m_t = x - sig[i] * v if convert else v
-        x_corr = (c_x[i] * x + c_last[i] * last_x + c_mt[i] * m_t
-                  + jnp.tensordot(c_hist[i], hist, axes=1))
-        x_next = (p_x[i] * x_corr + p_mt[i] * m_t
-                  + jnp.tensordot(p_hist[i], hist, axes=1))
-        hist = jnp.concatenate([m_t[None], hist[:-1]], axis=0)
-        return (x_next, x_corr, hist), x_next
+        return sampler_step(arrays, convert, state, velocity, i)
 
     return init_state, step
 

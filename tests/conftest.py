@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# This box has ONE cpu core; XLA compiles dominate test time. Cache them.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 jax.config.update("jax_threefry_partitionable", True)
 # This JAX build defaults to reduced matmul precision even on CPU; tests
 # verify fp32 algorithms, so force full precision (prod TPU paths feed bf16

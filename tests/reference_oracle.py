@@ -123,6 +123,84 @@ def _install_diffusers_stub():
     utils.accelerate_utils = acc
 
 
+def load_reference_pipelines():
+    """Load the reference `pipelines.py` (camera/object-motion/rasterizer
+    oracle) with its heavy external deps stubbed: FLUX/depth models,
+    DELTA/MoGe/Pi3 submodules (empty dirs in the snapshot anyway),
+    torchvision, moviepy. Geometry helpers (se3_inverse) get real numpy
+    implementations so the pose math actually runs."""
+    _install_diffusers_stub()
+    import numpy as _np
+
+    def _mk(name):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        sys.modules[name] = m
+        return m
+
+    diffusers = sys.modules["diffusers"]
+    for attr in ("FluxControlPipeline", "CogVideoXDPMScheduler"):
+        if not hasattr(diffusers, attr):
+            setattr(diffusers, attr, object)
+    utils = sys.modules["diffusers.utils"]
+    for attr in ("export_to_video", "load_image", "load_video"):
+        if not hasattr(utils, attr):
+            setattr(utils, attr, lambda *a, **k: None)
+
+    tv = _mk("torchvision")
+    tv_tf = _mk("torchvision.transforms")
+    tv.transforms = tv_tf
+
+    for name in ("submodules", "submodules.MoGe", "submodules.MoGe.moge",
+                 "submodules.MoGe.moge.model", "submodules.MoGe.moge.model.v2",
+                 "submodules.DELTA", "submodules.DELTA.densetrack3d",
+                 "submodules.DELTA.densetrack3d.models",
+                 "submodules.DELTA.densetrack3d.models.densetrack3d",
+                 "submodules.DELTA.densetrack3d.models.densetrack3d.densetrack3d",
+                 "submodules.DELTA.densetrack3d.models.predictor",
+                 "submodules.DELTA.densetrack3d.models.predictor.dense_predictor"):
+        _mk(name)
+    sys.modules["submodules.MoGe.moge.model.v2"].MoGeModel = object
+    sys.modules["submodules.DELTA.densetrack3d.models.densetrack3d"
+                ".densetrack3d"].DenseTrack3D = object
+    sys.modules["submodules.DELTA.densetrack3d.models.predictor"
+                ".dense_predictor"].DensePredictor3D = object
+
+    pi3 = _mk("pi3")
+    pi3_utils = _mk("pi3.utils")
+    pi3_basic = _mk("pi3.utils.basic")
+    pi3_models = _mk("pi3.models")
+    pi3_pi3 = _mk("pi3.models.pi3")
+    pi3_geom = _mk("pi3.utils.geometry")
+    pi3_basic.load_images_as_tensor = lambda *a, **k: None
+    pi3_pi3.Pi3 = object
+
+    def se3_inverse(mat):
+        out = _np.eye(4, dtype=mat.dtype if hasattr(mat, "dtype")
+                      else _np.float64)
+        m = _np.asarray(mat)
+        out[:3, :3] = m[:3, :3].T
+        out[:3, 3] = -m[:3, :3].T @ m[:3, 3]
+        return out
+
+    pi3_geom.se3_inverse = se3_inverse
+    pi3.utils = pi3_utils
+    pi3.models = pi3_models
+    pi3_utils.basic = pi3_basic
+    pi3_utils.geometry = pi3_geom
+    pi3_models.pi3 = pi3_pi3
+
+    iga = _mk("image_gen_aux")
+    iga.DepthPreprocessor = object
+    moviepy = _mk("moviepy")
+    moviepy_editor = _mk("moviepy.editor")
+    moviepy_editor.ImageSequenceClip = object
+    moviepy.editor = moviepy_editor
+
+    return load_reference_module("pipelines.py", "ref_pipelines")
+
+
 def load_reference_module(relpath: str, name: str):
     """Load a reference python file as a standalone module (no package)."""
     _install_diffusers_stub()

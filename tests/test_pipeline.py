@@ -1,0 +1,104 @@
+"""End-to-end tiny-config pipeline tests (BASELINE.json config-1 scale):
+prompt encode -> conditioning prep -> scan'd CFG denoise -> decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexam_tpu.config import tiny_test_config
+from flexam_tpu.models.dit import init_dit_params
+from flexam_tpu.models.t5 import init_t5_params
+from flexam_tpu.models.vae import init_vae_params
+from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
+
+T, H, W = 9, 32, 32
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_test_config()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    models = FlexAMModels(
+        cfg=cfg,
+        dit_params=init_dit_params(k1, cfg.dit, dtype=jnp.float32),
+        vae_params=init_vae_params(k2, cfg.vae),
+        t5_params=init_t5_params(k3, cfg.t5),
+    )
+    return FlexAMGenerationPipeline(models, compute_dtype=jnp.float32)
+
+
+def _inputs(seed=0, first_frame_known=False):
+    rng = np.random.RandomState(seed)
+    video = rng.rand(1, 3, T, H, W).astype(np.float32)
+    mask = np.ones((1, 1, T, H, W), np.float32)
+    if first_frame_known:
+        mask[:, :, 0] = 0.0
+    control = rng.rand(1, 3, T, H, W).astype(np.float32)
+    depth = rng.rand(1, 3, T, H, W).astype(np.float32)
+    cos = [rng.rand(1, 3, T, H, W).astype(np.float32) for _ in range(4)]
+    ref = rng.rand(1, 3, 1, H, W).astype(np.float32)
+    return video, mask, control, depth, cos, ref
+
+
+def test_conditioning_shapes(pipe):
+    video, mask, control, depth, cos, ref = _inputs()
+    cond = pipe.prepare_conditioning(video, mask, control, depth, cos, ref)
+    c, lt, lh, lw = cond["latent_shape"]
+    assert (c, lt, lh, lw) == (8, 3, 2, 2)
+    assert cond["control_latents"].shape == (1, 8, 3, 2, 2)
+    assert cond["mask_latents"].shape == (1, 4, 3, 2, 2)
+    assert cond["additional_control"].shape == (1, 40, 3, 2, 2)  # depth+4cos
+    assert cond["ref_latents"].shape == (1, 8, 2, 2)
+    assert not cond["first_frame_known"]
+
+
+@pytest.mark.parametrize("scheduler", ["flow_match_euler", "flow_unipc"])
+def test_end_to_end_tiny(pipe, scheduler):
+    video, mask, control, depth, cos, ref = _inputs()
+    ids = np.arange(16, dtype=np.int32)[None] % 100
+    attn_mask = np.ones((1, 16), np.int32)
+    ctx1 = pipe.encode_prompt_ids(ids, attn_mask)
+    context = jnp.concatenate([ctx1, ctx1], axis=0)   # [uncond, cond]
+
+    cond = pipe.prepare_conditioning(video, mask, control, depth, cos, ref)
+    latents = pipe.denoise(cond, context, num_inference_steps=4,
+                           guidance_scale=6.0, seed=7, density=1 / 10,
+                           scheduler_type=scheduler)
+    assert latents.shape == (1, 8, 3, 2, 2)
+    assert np.isfinite(np.asarray(latents)).all()
+
+    out = pipe._decode(latents)
+    assert out.shape == (1, 3, T, H, W)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_first_frame_known_reinjection(pipe):
+    """TI2V path: frame-0 mask == 0 -> latent frame 0 is pinned to the
+    masked-video latents through every step (`pipeline...FlexAM.py:684-686,
+    937-938`)."""
+    video, mask, control, depth, cos, ref = _inputs(first_frame_known=True)
+    cond = pipe.prepare_conditioning(video, mask, control, depth, cos, ref)
+    assert cond["first_frame_known"]
+
+    ids = np.arange(16, dtype=np.int32)[None] % 50
+    ctx = pipe.encode_prompt_ids(ids, np.ones((1, 16), np.int32))
+    context = jnp.concatenate([ctx, ctx], axis=0)
+    latents = pipe.denoise(cond, context, num_inference_steps=3,
+                           guidance_scale=6.0, seed=3, density=0.1)
+    lat0 = np.asarray(latents)[:, :, 0]
+    expected = np.asarray(cond["masked_video_latents"], np.float32)[:, :, 0]
+    np.testing.assert_allclose(lat0, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_cfg_skip_tail(pipe):
+    video, mask, control, depth, cos, ref = _inputs()
+    cond = pipe.prepare_conditioning(video, mask, control, depth, cos, ref)
+    ids = np.arange(16, dtype=np.int32)[None] % 50
+    ctx = pipe.encode_prompt_ids(ids, np.ones((1, 16), np.int32))
+    context = jnp.concatenate([ctx, ctx], axis=0)
+    latents = pipe.denoise(cond, context, num_inference_steps=4,
+                           guidance_scale=6.0, seed=3, density=0.1,
+                           cfg_skip_ratio=0.5)
+    assert np.isfinite(np.asarray(latents)).all()
