@@ -19,8 +19,19 @@ import time
 
 
 def main():
+    import os
+    import sys
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     from flexam_tpu.config import WAN22_5B_FLEXAM
     from flexam_tpu.models.dit import (dit_forward, init_dit_params,
@@ -31,7 +42,11 @@ def main():
 
     cfg = WAN22_5B_FLEXAM.dit
     key = jax.random.PRNGKey(0)
+    t_init = time.perf_counter()
     params = init_dit_params(key, cfg, dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+    log(f"5B param init: {time.perf_counter() - t_init:.1f}s on "
+        f"{jax.devices()[0]}")
     rope = jnp.asarray(make_rope_tables_for(cfg), jnp.float32)
 
     b, c, f, h, w = 1, 48, 25, 32, 56      # 512x896x97f latents
@@ -49,7 +64,9 @@ def main():
     sched = schedule_arrays(tables)
 
     @jax.jit
-    def denoise_step(state, i):
+    def denoise_step(params, state, i):
+        # params passed as an argument: closed-over arrays would be inlined
+        # as 10 GB of MLIR constants and OOM the chip
         x = state[0]
         xb = jnp.tile(x.astype(jnp.bfloat16), (2, 1, 1, 1, 1))
         t = jnp.full((2 * b,), sched["timesteps"][i], jnp.float32)
@@ -62,13 +79,15 @@ def main():
 
     state = sampler_init_state(x0, tables.order)
     # compile + warmup
-    state = denoise_step(state, jnp.int32(0))
+    t_c = time.perf_counter()
+    state = denoise_step(params, state, jnp.int32(0))
     jax.block_until_ready(state)
+    log(f"compile + first step: {time.perf_counter() - t_c:.1f}s")
 
     n_steps = 5
     t0 = time.perf_counter()
     for i in range(1, n_steps + 1):
-        state = denoise_step(state, jnp.int32(i))
+        state = denoise_step(params, state, jnp.int32(i))
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 

@@ -107,3 +107,157 @@ def vae_params_from_state_dict(
 
 def strip_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# DiT
+# ---------------------------------------------------------------------------
+
+def _lin(sd, prefix, dtype=None):
+    p = {"weight": np.asarray(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        p["bias"] = np.asarray(sd[prefix + ".bias"])
+    if dtype is not None:
+        p = {k: v.astype(dtype) for k, v in p.items()}
+    return p
+
+
+def dit_params_from_state_dict(
+    sd: Mapping[str, np.ndarray], cfg: DiTConfig, dtype=np.float32,
+) -> dict:
+    """Map a `Wan2_2Transformer3DModel_FlexAM` state_dict to the
+    scan-stacked flexam_tpu DiT pytree (module names at
+    `wan_transformer3d_FlexAM.py:624-711`). Reproduces the patch-embedding
+    input-channel zero-padding for checkpoints with fewer input channels
+    (`:1307-1310`)."""
+    import jax
+
+    def g(k):
+        return np.asarray(sd[k], dtype)
+
+    patch_w = g("patch_embedding.weight")
+    if patch_w.shape[1] < cfg.in_dim:   # channel-pad (`:1307-1310`)
+        pad = np.zeros(
+            (patch_w.shape[0], cfg.in_dim - patch_w.shape[1])
+            + patch_w.shape[2:], dtype)
+        patch_w = np.concatenate([patch_w, pad], axis=1)
+
+    params = {
+        "patch_embedding": {"weight": patch_w,
+                            "bias": g("patch_embedding.bias")},
+        "text_embedding": {"fc1": _lin(sd, "text_embedding.0", dtype),
+                           "fc2": _lin(sd, "text_embedding.2", dtype)},
+        "time_embedding": {"fc1": _lin(sd, "time_embedding.0", dtype),
+                           "fc2": _lin(sd, "time_embedding.2", dtype)},
+        "time_projection": {"fc": _lin(sd, "time_projection.1", dtype)},
+        "density_embedding": {"fc1": _lin(sd, "density_embedding.0", dtype),
+                              "fc2": _lin(sd, "density_embedding.2", dtype)},
+        "density_projection": {"fc": _lin(sd, "density_projection.1", dtype)},
+        "head": {
+            "head": _lin(sd, "head.head", dtype),
+            "modulation": np.asarray(sd["head.modulation"], np.float32),
+            "modulation_density": np.asarray(sd["head.modulation_density"],
+                                             np.float32),
+        },
+    }
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"blocks.{i}"
+        blk = {
+            "self_attn": {
+                "q": _lin(sd, f"{p}.self_attn.q", dtype),
+                "k": _lin(sd, f"{p}.self_attn.k", dtype),
+                "v": _lin(sd, f"{p}.self_attn.v", dtype),
+                "o": _lin(sd, f"{p}.self_attn.o", dtype),
+                "norm_q": g(f"{p}.self_attn.norm_q.weight"),
+                "norm_k": g(f"{p}.self_attn.norm_k.weight"),
+            },
+            "cross_attn": {
+                "q": _lin(sd, f"{p}.cross_attn.q", dtype),
+                "k": _lin(sd, f"{p}.cross_attn.k", dtype),
+                "v": _lin(sd, f"{p}.cross_attn.v", dtype),
+                "o": _lin(sd, f"{p}.cross_attn.o", dtype),
+                "norm_q": g(f"{p}.cross_attn.norm_q.weight"),
+                "norm_k": g(f"{p}.cross_attn.norm_k.weight"),
+            },
+            "ffn": {"fc1": _lin(sd, f"{p}.ffn.0", dtype),
+                    "fc2": _lin(sd, f"{p}.ffn.2", dtype)},
+            "modulation": np.asarray(sd[f"{p}.modulation"], np.float32),
+            "modulation_density": np.asarray(sd[f"{p}.modulation_density"],
+                                             np.float32),
+        }
+        if cfg.cross_attn_norm:
+            blk["norm3"] = {"weight": g(f"{p}.norm3.weight"),
+                            "bias": g(f"{p}.norm3.bias")}
+        blocks.append(blk)
+    params["blocks"] = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, 0), *blocks)
+
+    if cfg.add_ref_conv and "ref_conv.weight" in sd:
+        params["ref_conv"] = {"weight": g("ref_conv.weight"),
+                              "bias": g("ref_conv.bias")}
+    if cfg.add_cnn_block and "cnn_conv1.0.weight" in sd:
+        cnn = {}
+        for j in range(1, 5):
+            cnn[f"conv{j}"] = _lin(sd, f"cnn_conv{j}.0", dtype)
+            cnn[f"gn{j}"] = {"weight": g(f"cnn_conv{j}.1.weight"),
+                             "bias": g(f"cnn_conv{j}.1.bias")}
+        cnn["conv5"] = _lin(sd, "cnn_conv5", dtype)
+        params["cnn"] = cnn
+    return params
+
+
+# ---------------------------------------------------------------------------
+# File loading
+# ---------------------------------------------------------------------------
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Multi-file safetensors glob merge (the reference's loader,
+    `wan_transformer3d_FlexAM.py:1238-1246`), or a single file/pth."""
+    import glob
+    import os
+
+    sd: Dict[str, np.ndarray] = {}
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+        if not files:
+            raise FileNotFoundError(f"no safetensors under {path}")
+        for f in files:
+            sd.update(_load_one(f))
+    else:
+        sd.update(_load_one(path))
+    return sd
+
+
+def _load_one(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        try:
+            return load_file(path)
+        except Exception:
+            # bf16 tensors: go through torch then numpy
+            from safetensors.torch import load_file as tload
+            return {k: v.float().numpy() for k, v in tload(path).items()}
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def load_vae_checkpoint(path: str, cfg: VAEConfig) -> dict:
+    """Raw Wan VAE `.pth` (keys without prefix; the reference re-prefixes
+    with `model.`, `wan_vae3_8.py:1058-1079`)."""
+    sd = _load_one(path)
+    if any(k.startswith("model.") for k in sd):
+        sd = strip_prefix(sd, "model.")
+    return vae_params_from_state_dict(sd, cfg)
+
+
+def load_dit_checkpoint(path: str, cfg: DiTConfig, dtype=np.float32) -> dict:
+    return dit_params_from_state_dict(load_safetensors_dir(path), cfg, dtype)
+
+
+def load_t5_checkpoint(path: str, cfg: T5Config, dtype=np.float32) -> dict:
+    from flexam_tpu.models.t5 import t5_params_from_state_dict
+    return t5_params_from_state_dict(_load_one(path), cfg, dtype)

@@ -326,26 +326,20 @@ def _unpatchify(x, grid, patch, out_dim):
 # Full forward
 # ---------------------------------------------------------------------------
 
-def dit_forward(
+def _dit_prepare(
     params: dict,
     cfg: DiTConfig,
-    x: jnp.ndarray,                     # [B, C_lat, F, H, W] noisy latent
-    t: jnp.ndarray,                     # [B] or [B, L_video] timesteps
-    context: jnp.ndarray,               # [B, text_len, text_dim] (zero-padded)
-    density: Optional[jnp.ndarray] = None,     # [B]
-    y: Optional[jnp.ndarray] = None,           # [B, C_y, F, H, W] cond latents
-    additional_control: Optional[jnp.ndarray] = None,  # [B, C_ac, F, H, W]
-    full_ref: Optional[jnp.ndarray] = None,    # [B, C_lat, H, W]
-    rope_tables: Optional[jnp.ndarray] = None, # [max_seq, head_dim//2] angles
-    attn_fn: Callable = default_attention,
-    return_residual_input: bool = False,
-) -> jnp.ndarray:
-    """Forward pass (`WanTransformer3DModel_FlexAM.forward`, `:818-1123`).
-
-    Returns the velocity prediction [B, out_dim, F, H, W]. When
-    `return_residual_input` is set, also returns the token tensor right
-    before the block stack (TeaCache residual anchor, `:1008`).
-    """
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    density: Optional[jnp.ndarray],
+    y: Optional[jnp.ndarray],
+    additional_control: Optional[jnp.ndarray],
+    full_ref: Optional[jnp.ndarray],
+    rope_tables: Optional[jnp.ndarray],
+):
+    """Everything before the block stack (`:818-975`). Returns the token
+    tensor plus all per-step conditioning tensors."""
     compute_dtype = x.dtype
     pt, ph, pw = cfg.patch_size
 
@@ -428,29 +422,134 @@ def dit_forward(
     # without an active mesh
     tokens = token_constraint(tokens, ("dp", "sp", None))
 
-    residual_input = tokens
+    return tokens, e0, de0, e_head, de_head, cos, sin, ctx, grid, l_ref
 
-    # --- block stack under scan (`:1052-1089`)
+
+def _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx, attn_fn):
+    """The 30-block stack under `lax.scan` (`:1052-1089`)."""
     def body(carry, bp):
         out = _block_forward(bp, carry, e0, de0, cos, sin, ctx, cfg, attn_fn)
         out = token_constraint(out, ("dp", "sp", None))
         return out, None
 
     tokens, _ = jax.lax.scan(body, tokens, params["blocks"])
+    return tokens
 
-    # --- head (`:1091-1101`)
+
+def _dit_finish(params, cfg, tokens, e_head, de_head, grid, l_ref):
+    """Head + ref-token strip + unpatchify (`:1091-1149`)."""
     tokens = _head_forward(params["head"], tokens, e_head, de_head,
                            cfg.patch_size, cfg.out_dim)
-
-    # --- strip ref tokens (`:1106-1109`)
-    if has_ref:
+    if l_ref:
         tokens = tokens[:, l_ref:]
         grid = (grid[0] - 1, grid[1], grid[2])
+    return _unpatchify(tokens, grid, cfg.patch_size, cfg.out_dim)
 
-    out = _unpatchify(tokens, grid, cfg.patch_size, cfg.out_dim)
-    if return_residual_input:
-        return out, residual_input
-    return out
+
+def dit_forward(
+    params: dict,
+    cfg: DiTConfig,
+    x: jnp.ndarray,                     # [B, C_lat, F, H, W] noisy latent
+    t: jnp.ndarray,                     # [B] or [B, L_video] timesteps
+    context: jnp.ndarray,               # [B, text_len, text_dim] (zero-padded)
+    density: Optional[jnp.ndarray] = None,     # [B]
+    y: Optional[jnp.ndarray] = None,           # [B, C_y, F, H, W] cond latents
+    additional_control: Optional[jnp.ndarray] = None,  # [B, C_ac, F, H, W]
+    full_ref: Optional[jnp.ndarray] = None,    # [B, C_lat, H, W]
+    rope_tables: Optional[jnp.ndarray] = None, # [max_seq, head_dim//2] angles
+    attn_fn: Callable = default_attention,
+) -> jnp.ndarray:
+    """Forward pass (`WanTransformer3DModel_FlexAM.forward`, `:818-1123`).
+    Returns the velocity prediction [B, out_dim, F, H, W]."""
+    tokens, e0, de0, e_head, de_head, cos, sin, ctx, grid, l_ref = \
+        _dit_prepare(params, cfg, x, t, context, density, y,
+                     additional_control, full_ref, rope_tables)
+    tokens = _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx, attn_fn)
+    return _dit_finish(params, cfg, tokens, e_head, de_head, grid, l_ref)
+
+
+def init_teacache_state(batch: int, seq_len: int, dim: int,
+                        dtype=jnp.bfloat16) -> dict:
+    """Carryable TeaCache state (`FlexAM/models/cache_utils.py:21-77`)."""
+    return {
+        "prev_mod": jnp.zeros((batch, 6, dim), jnp.float32),
+        "accum": jnp.zeros((), jnp.float32),
+        "residual": jnp.zeros((batch, seq_len, dim), dtype),
+        "computed": jnp.zeros((), jnp.float32),   # diagnostics: #computed
+    }
+
+
+# Fitted polynomial for Wan2.2 5B/Fun models
+# (`cache_utils.py:get_teacache_coefficients`, wan2.2 branch)
+WAN22_TEACACHE_COEFFICIENTS = (
+    8.10705460e+03, 2.13393892e+03, -3.72934672e+02, 1.66203073e+01,
+    -4.17769401e-02)
+
+
+def dit_forward_teacache(
+    params: dict,
+    cfg: DiTConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    tea_state: dict,
+    step_index: jnp.ndarray,            # traced int32 step counter
+    density: Optional[jnp.ndarray] = None,
+    y: Optional[jnp.ndarray] = None,
+    additional_control: Optional[jnp.ndarray] = None,
+    full_ref: Optional[jnp.ndarray] = None,
+    rope_tables: Optional[jnp.ndarray] = None,
+    attn_fn: Callable = default_attention,
+    coefficients: Tuple[float, ...] = WAN22_TEACACHE_COEFFICIENTS,
+    rel_l1_thresh: float = 0.10,
+    num_skip_start_steps: int = 5,
+):
+    """TeaCache forward (`wan_transformer3d_FlexAM.py:977-1008,1048-1051`):
+    poly-rescaled rel-L1 of the modulated input accumulates across steps;
+    below threshold the block stack is skipped and the cached residual is
+    re-applied. Data-dependent -> `lax.cond` with both branches compiled.
+
+    Returns (velocity, new_tea_state).
+    """
+    tokens, e0, de0, e_head, de_head, cos, sin, ctx, grid, l_ref = \
+        _dit_prepare(params, cfg, x, t, context, density, y,
+                     additional_control, full_ref, rope_tables)
+
+    # modulated input: e0 (scalar t) or the last token's e0 (per-token t,
+    # `:981-983`); e0 is [B, 1 or L, 6, dim] here, so [:, -1] covers both
+    mod = e0[:, -1].astype(jnp.float32)
+
+    prev_mod = tea_state["prev_mod"]
+    rel = jnp.mean(jnp.abs(mod - prev_mod)) / (jnp.mean(jnp.abs(prev_mod))
+                                               + 1e-12)
+    poly = jnp.polyval(jnp.asarray(coefficients, jnp.float32), rel)
+    accum = tea_state["accum"] + poly
+
+    in_warmup = step_index < num_skip_start_steps
+    should_calc = jnp.logical_or(in_warmup, accum >= rel_l1_thresh)
+    accum = jnp.where(should_calc, 0.0, accum)
+
+    def run(tokens):
+        out = _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx,
+                          attn_fn)
+        return out, (out - tokens)
+
+    def skip(tokens):
+        return tokens + tea_state["residual"].astype(tokens.dtype), \
+            tea_state["residual"]
+
+    tokens, residual = jax.lax.cond(should_calc, run, skip, tokens)
+
+    new_state = {
+        "prev_mod": mod,
+        "accum": accum,
+        "residual": residual.astype(tea_state["residual"].dtype),
+        "computed": tea_state["computed"] + should_calc.astype(jnp.float32),
+    }
+    return _dit_finish(params, cfg, tokens, e_head, de_head, grid, l_ref), \
+        new_state
+
+
 
 
 def _f32(lin_params: dict) -> dict:

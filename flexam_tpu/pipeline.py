@@ -33,7 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexam_tpu.config import FlexAMConfig
-from flexam_tpu.models.dit import dit_forward, make_rope_tables_for
+from flexam_tpu.models.dit import (WAN22_TEACACHE_COEFFICIENTS, dit_forward,
+                                   dit_forward_teacache, init_teacache_state,
+                                   make_rope_tables_for)
 from flexam_tpu.models.t5 import t5_encode
 from flexam_tpu.models.vae import vae_decode, vae_encode_mode
 from flexam_tpu.core.attention import attention as default_attention
@@ -165,22 +167,36 @@ class FlexAMGenerationPipeline:
         ids, mask = self.tokenize(prompts)
         return self.encode_prompt_ids(ids, mask)
 
-    @partial(jax.jit, static_argnums=(0,))
+    # NOTE on jit structure: model parameters are always passed as jit
+    # ARGUMENTS — arrays closed over by a jitted function are inlined as
+    # MLIR constants, which for the 5B DiT means ~10 GB of constants and
+    # an immediate RESOURCE_EXHAUSTED on the chip.
+
     def encode_prompt_ids(self, ids: jnp.ndarray,
                           mask: jnp.ndarray) -> jnp.ndarray:
-        emb = t5_encode(self.models.t5_params, self.cfg.t5, ids, mask)
+        return self._t5_jit(self.models.t5_params, ids, mask)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _t5_jit(self, t5_params, ids, mask):
+        emb = t5_encode(t5_params, self.cfg.t5, ids, mask)
         return (emb * mask[:, :, None]).astype(self.compute_dtype)
 
     # -- VAE stages ----------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
     def _encode_clips(self, clips: jnp.ndarray) -> jnp.ndarray:
         """Batched encode of N same-shape clips [N, 3, T, H, W] in [-1,1]."""
-        return vae_encode_mode(self.models.vae_params, self.cfg.vae, clips)
+        return self._vae_encode_jit(self.models.vae_params, clips)
 
     @partial(jax.jit, static_argnums=(0,))
+    def _vae_encode_jit(self, vae_params, clips):
+        return vae_encode_mode(vae_params, self.cfg.vae, clips)
+
     def _decode(self, latents: jnp.ndarray) -> jnp.ndarray:
-        return vae_decode(self.models.vae_params, self.cfg.vae,
+        return self._vae_decode_jit(self.models.vae_params, latents)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _vae_decode_jit(self, vae_params, latents):
+        return vae_decode(vae_params, self.cfg.vae,
                           latents.astype(self.compute_dtype))
 
     # -- conditioning --------------------------------------------------------
@@ -261,8 +277,8 @@ class FlexAMGenerationPipeline:
             m = mask_ti2v
 
         if ref_image is not None:
-            ref_lat = vae_encode_mode(
-                self.models.vae_params, self.cfg.vae,
+            ref_lat = self._vae_encode_jit(
+                self.models.vae_params,
                 norm(jnp.asarray(ref_image, jnp.float32)))[:, :, 0]
         else:
             ref_lat = jnp.zeros((1, cfgv.latent_channels, lh, lw), jnp.float32)
@@ -300,6 +316,8 @@ class FlexAMGenerationPipeline:
         density: Optional[float] = None,
         cfg_skip_ratio: float = 0.0,
         latents: Optional[jnp.ndarray] = None,
+        teacache_thresh: float = 0.0,          # 0 = off; reference: 0.10
+        teacache_skip_start: int = 5,
     ) -> jnp.ndarray:
         """The 50-step CFG loop as scan(s) inside jit."""
         scfg = self.cfg.scheduler
@@ -327,7 +345,11 @@ class FlexAMGenerationPipeline:
 
         do_cfg = guidance_scale > 1.0 and context.shape[0] == 2
 
+        model_params = {"dit": self.models.dit_params}
+        if self.models.dit2_params is not None:
+            model_params["dit2"] = self.models.dit2_params
         latents = self._denoise_jit(
+            model_params,
             latents, cond["control_latents"], cond["mask_latents"],
             cond["masked_video_latents"], cond["additional_control"],
             cond["ref_latents"], cond["mask_ti2v"], context,
@@ -335,17 +357,18 @@ class FlexAMGenerationPipeline:
             float(density) if density is not None else 0.0,
             bool(cond["first_frame_known"]), high_steps, skip_from, do_cfg,
             tables.order, tables.convert, tables.num_steps,
-            density is not None, bool(cond.get("per_token_t", True)))
+            density is not None, bool(cond.get("per_token_t", True)),
+            float(teacache_thresh), int(teacache_skip_start))
         return latents
 
     @partial(jax.jit,
-             static_argnums=(0, 12, 13, 14, 15, 16, 17, 18, 19, 20))
-    def _denoise_jit(self, latents, control_latents, mask_latents,
-                     masked_video_latents, additional_control, ref_latents,
-                     mask_ti2v, context, sched, guidance_scale, density,
-                     first_frame_known, high_steps, skip_from, do_cfg,
-                     solver_order, solver_convert, n, has_density,
-                     per_token_t):
+             static_argnums=(0, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23))
+    def _denoise_jit(self, model_params, latents, control_latents,
+                     mask_latents, masked_video_latents, additional_control,
+                     ref_latents, mask_ti2v, context, sched, guidance_scale,
+                     density, first_frame_known, high_steps, skip_from,
+                     do_cfg, solver_order, solver_convert, n, has_density,
+                     per_token_t, teacache_thresh, teacache_skip_start):
         cfg = self.cfg.dit
         dt = self.compute_dtype
         timesteps = sched["timesteps"]
@@ -369,7 +392,9 @@ class FlexAMGenerationPipeline:
             latents = ((1 - mask_ti2v) * masked_video_latents.astype(jnp.float32)
                        + mask_ti2v * latents)
 
-        def velocity(params, x, t_scalar, ctx, batch):
+        use_teacache = teacache_thresh > 0.0
+
+        def velocity(params, x, t_scalar, ctx, batch, tea, i):
             """One transformer forward, batch = 1 (cond) or 2 (CFG pair)."""
             xb = jnp.tile(x.astype(dt), (batch, 1, 1, 1, 1))
             yb = jnp.tile(y_single, (batch, 1, 1, 1, 1))
@@ -381,21 +406,29 @@ class FlexAMGenerationPipeline:
                 t_in = jnp.full((batch,), t_scalar, jnp.float32)
             dens = (jnp.full((batch,), density, jnp.float32)
                     if has_density else None)
-            return dit_forward(
-                params, cfg, xb, t_in, ctx, density=dens, y=yb,
-                additional_control=acb, full_ref=refb,
-                rope_tables=self.rope_tables, attn_fn=self.attn_fn)
+            kw = dict(density=dens, y=yb, additional_control=acb,
+                      full_ref=refb, rope_tables=self.rope_tables,
+                      attn_fn=self.attn_fn)
+            if use_teacache:
+                return dit_forward_teacache(
+                    params, cfg, xb, t_in, ctx, tea, i,
+                    rel_l1_thresh=teacache_thresh,
+                    num_skip_start_steps=teacache_skip_start, **kw)
+            return dit_forward(params, cfg, xb, t_in, ctx, **kw), tea
 
         def make_body(params, with_cfg):
-            def body(state, i):
+            def body(carry, i):
+                state, tea = carry
                 x = state[0]
                 t_scalar = timesteps[i]
                 if with_cfg:
-                    pred = velocity(params, x, t_scalar, context, 2)
+                    pred, tea = velocity(params, x, t_scalar, context, 2,
+                                         tea, i)
                     uncond, cond_p = pred[0:1], pred[1:2]
                     v = uncond + guidance_scale * (cond_p - uncond)
                 else:
-                    pred = velocity(params, x, t_scalar, context[-1:], 1)
+                    pred, tea = velocity(params, x, t_scalar, context[-1:],
+                                         1, tea, i)
                     v = pred
                 state, x_next = sampler_step(
                     sched, solver_convert, state, v.astype(jnp.float32), i)
@@ -404,10 +437,11 @@ class FlexAMGenerationPipeline:
                               * masked_video_latents.astype(jnp.float32)
                               + mask_ti2v * x_next)
                     state = (x_next,) + state[1:]
-                return state, None
+                return (state, tea), None
             return body
 
         state = sampler_init_state(latents, solver_order)
+        l_ref = (lh // cfg.patch_size[1]) * (lw // cfg.patch_size[2])
         # segments: [0, high_steps) on dit2 (high noise), then dit; within
         # each, CFG until skip_from then cond-only
         segments = []
@@ -415,13 +449,20 @@ class FlexAMGenerationPipeline:
         for a, b in zip(bounds[:-1], bounds[1:]):
             if a >= b:
                 continue
-            params = (self.models.dit2_params
-                      if b <= high_steps else self.models.dit_params)
+            params = (model_params["dit2"]
+                      if b <= high_steps else model_params["dit"])
             with_cfg = do_cfg and a < skip_from
             segments.append((a, b, params, with_cfg))
         for a, b, params, with_cfg in segments:
-            state, _ = jax.lax.scan(make_body(params, with_cfg), state,
-                                    jnp.arange(a, b))
+            # teacache state is per-segment: batch size changes across the
+            # cfg-skip boundary (the reference slices the residual,
+            # `wan_transformer3d_FlexAM.py:1003`; a reset is equivalent up
+            # to one extra computed step)
+            tea = (init_teacache_state(2 if with_cfg else 1,
+                                       seq_len + l_ref, cfg.dim, dt)
+                   if use_teacache else jnp.zeros(()))
+            (state, tea), _ = jax.lax.scan(make_body(params, with_cfg),
+                                           (state, tea), jnp.arange(a, b))
         return state[0]
 
     # -- full generate --------------------------------------------------------
@@ -431,6 +472,7 @@ class FlexAMGenerationPipeline:
                  negative_prompt=None, num_inference_steps=50,
                  guidance_scale=6.0, seed=1245644, density=None,
                  scheduler_type=None, cfg_skip_ratio=0.0,
+                 teacache_thresh=0.0, teacache_skip_start=5,
                  output_type="np") -> np.ndarray:
         """demo-equivalent end-to-end call. video in [0,1], [1,3,T,H,W]."""
         context = self.encode_prompt(prompt, negative_prompt,
@@ -442,7 +484,9 @@ class FlexAMGenerationPipeline:
                                guidance_scale=guidance_scale, seed=seed,
                                density=density,
                                scheduler_type=scheduler_type,
-                               cfg_skip_ratio=cfg_skip_ratio)
+                               cfg_skip_ratio=cfg_skip_ratio,
+                               teacache_thresh=teacache_thresh,
+                               teacache_skip_start=teacache_skip_start)
         if output_type == "latent":
             return np.asarray(latents)
         out = self._decode(latents)

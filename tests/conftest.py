@@ -4,10 +4,11 @@ uses the same mechanism)."""
 
 import os
 
-# The harness pre-sets JAX_PLATFORMS=axon (one real TPU chip via tunnel);
-# unit tests want the 8-device virtual CPU mesh. FLEXAM_TEST_PLATFORM=axon
-# opts back into running the suite on the real chip.
-os.environ["JAX_PLATFORMS"] = os.environ.get("FLEXAM_TEST_PLATFORM", "cpu")
+# The harness pre-sets JAX_PLATFORMS=axon (one real TPU chip via tunnel)
+# and the axon plugin overrides the env var — only the jax config knob
+# actually switches platforms. Unit tests want the 8-device virtual CPU
+# mesh; FLEXAM_TEST_PLATFORM=axon opts back into the real chip.
+_platform = os.environ.get("FLEXAM_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 # This box has ONE cpu core; XLA compiles dominate test time. Cache them.
 jax.config.update("jax_compilation_cache_dir",

@@ -201,6 +201,77 @@ def load_reference_pipelines():
     return load_reference_module("pipelines.py", "ref_pipelines")
 
 
+def load_reference_dit():
+    """Load the UNMODIFIED reference FlexAM DiT
+    (`FlexAM/models/wan_transformer3d_FlexAM.py`) as a package with its
+    absent `FlexAM.dist` sequence-parallel module stubbed (it is missing
+    from the release; SURVEY.md L1). SDPA fallback handles attention on
+    CPU torch."""
+    _install_diffusers_stub()
+
+    utils_diff = sys.modules["diffusers.utils"]
+    if not hasattr(utils_diff, "is_torch_version"):
+        import torch
+        from packaging import version as pver
+
+        def is_torch_version(op, ver):
+            cur = pver.parse(torch.__version__.split("+")[0])
+            ref = pver.parse(ver)
+            return {"<": cur < ref, "<=": cur <= ref, ">": cur > ref,
+                    ">=": cur >= ref, "==": cur == ref}[op]
+
+        class _Logging:
+            @staticmethod
+            def get_logger(name):
+                import logging as _l
+                return _l.getLogger(name)
+
+        utils_diff.is_torch_version = is_torch_version
+        utils_diff.logging = _Logging()
+
+    if "FlexAM" not in sys.modules:
+        pkg = types.ModuleType("FlexAM")
+        pkg.__path__ = []
+        sys.modules["FlexAM"] = pkg
+        dist = types.ModuleType("FlexAM.dist")
+        for fname in ("get_sequence_parallel_rank",
+                      "get_sequence_parallel_world_size", "get_sp_group",
+                      "usp_attn_forward", "xFuserLongContextAttention"):
+            setattr(dist, fname, lambda *a, **k: None)
+        sys.modules["FlexAM.dist"] = dist
+
+        cfg_opt = load_reference_module("FlexAM/utils/cfg_optimization.py",
+                                        "FlexAM_cfg_optimization")
+        utils_pkg = types.ModuleType("FlexAM.utils")
+        utils_pkg.cfg_skip = cfg_opt.cfg_skip
+        sys.modules["FlexAM.utils"] = utils_pkg
+
+        models_pkg = types.ModuleType("FlexAM.models")
+        models_pkg.__path__ = []
+        sys.modules["FlexAM.models"] = models_pkg
+        for mod in ("attention_utils", "cache_utils", "wan_camera_adapter"):
+            loaded = _load_as_submodule(
+                f"FlexAM/models/{mod}.py", f"FlexAM.models.{mod}")
+            setattr(models_pkg, mod, loaded)
+
+    return _load_as_submodule(
+        "FlexAM/models/wan_transformer3d_FlexAM.py",
+        "FlexAM.models.wan_transformer3d_FlexAM")
+
+
+def _load_as_submodule(relpath: str, dotted: str):
+    if dotted in sys.modules:
+        return sys.modules[dotted]
+    spec = importlib.util.spec_from_file_location(
+        dotted, f"{REFERENCE_ROOT}/{relpath}",
+        submodule_search_locations=None)
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = dotted.rsplit(".", 1)[0]
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_module(relpath: str, name: str):
     """Load a reference python file as a standalone module (no package)."""
     _install_diffusers_stub()

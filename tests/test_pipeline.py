@@ -102,3 +102,23 @@ def test_cfg_skip_tail(pipe):
                            guidance_scale=6.0, seed=3, density=0.1,
                            cfg_skip_ratio=0.5)
     assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_teacache_denoise(pipe):
+    """TeaCache-enabled scan: lax.cond skip path compiles and the first
+    steps (warmup) always compute."""
+    video, mask, control, depth, cos, ref = _inputs()
+    cond = pipe.prepare_conditioning(video, mask, control, depth, cos, ref)
+    ids = np.arange(16, dtype=np.int32)[None] % 50
+    ctx = pipe.encode_prompt_ids(ids, np.ones((1, 16), np.int32))
+    context = jnp.concatenate([ctx, ctx], axis=0)
+    latents = pipe.denoise(cond, context, num_inference_steps=6,
+                           guidance_scale=6.0, seed=3, density=0.1,
+                           teacache_thresh=0.1, teacache_skip_start=2)
+    assert np.isfinite(np.asarray(latents)).all()
+    # threshold -> inf forces all skips after warmup; result still finite
+    latents2 = pipe.denoise(cond, context, num_inference_steps=6,
+                            guidance_scale=6.0, seed=3, density=0.1,
+                            teacache_thresh=1e9, teacache_skip_start=2)
+    assert np.isfinite(np.asarray(latents2)).all()
+    assert not np.allclose(np.asarray(latents), np.asarray(latents2))
