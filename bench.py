@@ -7,19 +7,24 @@ Prints ONE JSON line:
 The workload is the reference default (SURVEY.md §2.7): Wan2.2-Fun-5B DiT,
 512x896x97 frames -> latent [48, 25, 32, 56] -> 11,648 tokens (incl. 448
 ref tokens), CFG pair batched as 2, bf16. One "step" = one full CFG
-denoise iteration (2 transformer forwards batched).
+denoise iteration (2 transformer forwards batched + sampler update).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we report
 against the driver north-star of 50 steps in <60 s on v5p-8, i.e.
 0.833 steps/s aggregate -> per-chip target 0.104 steps/s.
+
+Axon-tunnel gotchas handled here: params are initialized INSIDE one jit
+(avoids a 2x10 GB stack transient), all tensors are jit arguments (never
+closure constants -> MLIR-inlined), and timing forces a scalar fetch
+(block_until_ready does not actually block over the tunnel).
 """
 
 import json
+import os
 import time
 
 
 def main():
-    import os
     import sys
 
     import jax
@@ -30,9 +35,6 @@ def main():
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    def log(msg):
-        print(f"[bench] {msg}", file=sys.stderr, flush=True)
-
     from flexam_tpu.config import WAN22_5B_FLEXAM
     from flexam_tpu.models.dit import (dit_forward, init_dit_params,
                                        make_rope_tables_for)
@@ -40,11 +42,30 @@ def main():
     from flexam_tpu.sampling.flow_match import (sampler_init_state,
                                                 sampler_step, schedule_arrays)
 
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     cfg = WAN22_5B_FLEXAM.dit
-    key = jax.random.PRNGKey(0)
     t_init = time.perf_counter()
-    params = init_dit_params(key, cfg, dtype=jnp.bfloat16)
-    jax.block_until_ready(params)
+    # fast random init: values are irrelevant for throughput; generate each
+    # leaf of the shape skeleton with one fused normal (the structured
+    # xavier init compiles for ~10 min on this 1-core host)
+    skeleton = jax.eval_shape(
+        lambda key: init_dit_params(key, cfg, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree_util.tree_flatten(skeleton)
+
+    @jax.jit
+    def make_params(key):
+        keys = jax.random.split(key, len(leaves))
+        return treedef.unflatten([
+            (jax.random.normal(k, l.shape, jnp.float32) * 0.02
+             ).astype(l.dtype)
+            for k, l in zip(keys, leaves)])
+
+    params = make_params(jax.random.PRNGKey(0))
+    # force materialization
+    float(jnp.sum(params["head"]["head"]["bias"].astype(jnp.float32)))
     log(f"5B param init: {time.perf_counter() - t_init:.1f}s on "
         f"{jax.devices()[0]}")
     rope = jnp.asarray(make_rope_tables_for(cfg), jnp.float32)
@@ -52,46 +73,48 @@ def main():
     b, c, f, h, w = 1, 48, 25, 32, 56      # 512x896x97f latents
     guidance = 6.0
     x0 = jax.random.normal(jax.random.PRNGKey(1), (b, c, f, h, w), jnp.float32)
-    y = jnp.zeros((2 * b, 100, f, h, w), jnp.bfloat16)
-    additional = jnp.zeros((2 * b, 240, f, h, w), jnp.bfloat16)
-    ref = jnp.zeros((2 * b, c, h, w), jnp.bfloat16)
-    context = (jax.random.normal(jax.random.PRNGKey(2),
-                                 (2 * b, cfg.text_len, cfg.text_dim))
-               * 0.02).astype(jnp.bfloat16)
-    density = jnp.full((2 * b,), 0.1, jnp.float32)
+    cond = {
+        "y": jnp.zeros((2 * b, 100, f, h, w), jnp.bfloat16),
+        "additional": jnp.zeros((2 * b, 240, f, h, w), jnp.bfloat16),
+        "ref": jnp.zeros((2 * b, c, h, w), jnp.bfloat16),
+        "context": (jax.random.normal(
+            jax.random.PRNGKey(2), (2 * b, cfg.text_len, cfg.text_dim))
+            * 0.02).astype(jnp.bfloat16),
+        "density": jnp.full((2 * b,), 0.1, jnp.float32),
+        "rope": rope,
+    }
 
     tables = build_schedule("flow_match_euler", 50, shift=5.0)
     sched = schedule_arrays(tables)
 
     @jax.jit
-    def denoise_step(params, state, i):
-        # params passed as an argument: closed-over arrays would be inlined
-        # as 10 GB of MLIR constants and OOM the chip
+    def denoise_step(params, cond, sched, state, i):
         x = state[0]
         xb = jnp.tile(x.astype(jnp.bfloat16), (2, 1, 1, 1, 1))
         t = jnp.full((2 * b,), sched["timesteps"][i], jnp.float32)
-        pred = dit_forward(params, cfg, xb, t, context, density=density,
-                           y=y, additional_control=additional, full_ref=ref,
-                           rope_tables=rope)
+        pred = dit_forward(params, cfg, xb, t, cond["context"],
+                           density=cond["density"], y=cond["y"],
+                           additional_control=cond["additional"],
+                           full_ref=cond["ref"], rope_tables=cond["rope"])
         v = pred[0:1] + guidance * (pred[1:2] - pred[0:1])
         state, _ = sampler_step(sched, False, state, v.astype(jnp.float32), i)
         return state
 
     state = sampler_init_state(x0, tables.order)
-    # compile + warmup
     t_c = time.perf_counter()
-    state = denoise_step(params, state, jnp.int32(0))
-    jax.block_until_ready(state)
+    state = denoise_step(params, cond, sched, state, jnp.int32(0))
+    float(jnp.sum(state[0][:, 0, 0, 0, :8]))       # forced fetch
     log(f"compile + first step: {time.perf_counter() - t_c:.1f}s")
 
     n_steps = 5
     t0 = time.perf_counter()
     for i in range(1, n_steps + 1):
-        state = denoise_step(params, state, jnp.int32(i))
-    jax.block_until_ready(state)
+        state = denoise_step(params, cond, sched, state, jnp.int32(i))
+    float(jnp.sum(state[0][:, 0, 0, 0, :8]))       # forced fetch
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt
+    log(f"{n_steps} steps in {dt:.2f}s")
     target_per_chip = 50.0 / 60.0 / 8.0   # north star spread over 8 chips
     print(json.dumps({
         "metric": "denoise_steps_per_sec_per_chip",

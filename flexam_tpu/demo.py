@@ -1,0 +1,325 @@
+"""CLI driver, mirroring the reference `demo.py:146-415`.
+
+Five modes via --generate_type: full_edit (motion transfer),
+foreground_edit, background_edit, plus camera control (--camera_motion /
+--pose_file) and object manipulation (--object_motion + --object_mask),
+composable like the reference.
+
+Perception inputs (the reference's external CUDA models, SURVEY.md §2.6)
+come from fixtures:
+  --tracks_npz       precomputed DELTA-format tracks: npz with
+                     tracks [T,N,3] (u,v,depth) + visibility [T,N]
+                     (+ optional extrinsics [T,3,4], intrinsics [T,3,3]
+                     for VGGT-style camera re-projection)
+  --moge_npz         MoGe point map: points [H,W,3] normalized + mask [H,W]
+                     + intrinsics [3,3]  (image-input path, `demo.py:220`)
+  --repaint PATH     repainted first frame (the reference also accepts a
+                     path, `demo.py:154-155`; FLUX repaint itself is an
+                     external model)
+  --synthetic_tracks generate a deterministic grid-track fixture (smoke)
+
+Model weights: --checkpoint_path with {transformer/, Wan2.2_VAE.pth,
+models_t5_umt5-xxl-enc-bf16.pth, tokenizer}, or --random_init tiny|5b.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="FlexAM-TPU demo")
+    p.add_argument("--input_path", type=str, default=None)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--random_init", type=str, default=None,
+                   choices=["tiny", "5b"],
+                   help="random weights instead of a checkpoint (smoke)")
+    p.add_argument("--num_inference_steps", type=int, default=40)
+    p.add_argument("--repaint", type=str, default=None)
+    p.add_argument("--camera_motion", type=str, default=None)
+    p.add_argument("--pose_file", type=str, default=None)
+    p.add_argument("--override_extrinsics", type=str, default="append",
+                   choices=["override", "append"])
+    p.add_argument("--object_motion", type=str, default=None)
+    p.add_argument("--object_mask", type=str, default=None)
+    p.add_argument("--tracking_method", type=str, default="DELTA",
+                   choices=["DELTA", "moge"])
+    p.add_argument("--sample_size", type=int, nargs=2, default=[512, 896])
+    p.add_argument("--video_length", type=int, default=49)
+    p.add_argument("--mask_path", type=str, default=None)
+    p.add_argument("--generate_type", type=str, default="full_edit",
+                   choices=["full_edit", "foreground_edit",
+                            "background_edit"])
+    p.add_argument("--density", type=int, default=10)
+    p.add_argument("--dilation_pixels", type=int, default=200)
+    p.add_argument("--tracks_npz", type=str, default=None)
+    p.add_argument("--moge_npz", type=str, default=None)
+    p.add_argument("--synthetic_tracks", action="store_true")
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--seed", type=int, default=1245644)
+    p.add_argument("--scheduler", type=str, default=None,
+                   choices=[None, "flow_match_euler", "flow_unipc",
+                            "flow_dpm"])
+    p.add_argument("--teacache_thresh", type=float, default=0.0)
+    p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
+    p.add_argument("--fps", type=int, default=16)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); the axon TPU "
+                        "plugin ignores JAX_PLATFORMS so this uses the "
+                        "config knob")
+    return p
+
+
+def _synthetic_grid_tracks(video_length, height, width, density):
+    """Deterministic stand-in for DELTA: a static dense grid with a slow
+    drift (exercises the full rasterize->generate path without the
+    external tracker)."""
+    ys = np.arange(0, height, density, dtype=np.float32) + density / 2
+    xs = np.arange(0, width, density, dtype=np.float32) + density / 2
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    base = np.stack([gx.reshape(-1), gy.reshape(-1),
+                     np.full(gx.size, 2.0, np.float32)], axis=1)
+    t = np.arange(video_length, dtype=np.float32)[:, None, None]
+    drift = np.concatenate([t * 0.5, t * 0.2, t * 0.0], axis=2)
+    tracks = base[None] + drift
+    vis = np.ones((video_length, base.shape[0]), bool)
+    return tracks.astype(np.float32), vis
+
+
+def _build_models(args):
+    import jax
+    import jax.numpy as jnp
+
+    from flexam_tpu.config import WAN22_5B_FLEXAM, tiny_test_config
+    from flexam_tpu.models.dit import init_dit_params
+    from flexam_tpu.models.t5 import init_t5_params
+    from flexam_tpu.models.vae import init_vae_params
+    from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
+
+    tokenizer = None
+    if args.checkpoint_path:
+        from flexam_tpu.io.checkpoints import (load_dit_checkpoint,
+                                               load_t5_checkpoint,
+                                               load_vae_checkpoint)
+        cfg = WAN22_5B_FLEXAM
+        dit = load_dit_checkpoint(
+            os.path.join(args.checkpoint_path), cfg.dit, dtype=np.float32)
+        dit = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16)
+            if a.dtype == np.float32 and a.ndim >= 2 else jnp.asarray(a), dit)
+        vae = load_vae_checkpoint(
+            os.path.join(args.checkpoint_path, "Wan2.2_VAE.pth"), cfg.vae)
+        t5 = load_t5_checkpoint(
+            os.path.join(args.checkpoint_path,
+                         "models_t5_umt5-xxl-enc-bf16.pth"), cfg.t5)
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(
+            os.path.join(args.checkpoint_path, "google/umt5-xxl"))
+        models = FlexAMModels(cfg=cfg, dit_params=dit, vae_params=vae,
+                              t5_params=t5)
+        return FlexAMGenerationPipeline(models, tokenizer=tokenizer)
+
+    cfg = tiny_test_config() if args.random_init == "tiny" else WAN22_5B_FLEXAM
+    dtype = jnp.float32 if args.random_init == "tiny" else jnp.bfloat16
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    models = FlexAMModels(
+        cfg=cfg,
+        dit_params=init_dit_params(k1, cfg.dit, dtype=dtype),
+        vae_params=init_vae_params(k2, cfg.vae),
+        t5_params=init_t5_params(k3, cfg.t5),
+    )
+    return FlexAMGenerationPipeline(
+        models, compute_dtype=jnp.float32 if args.random_init == "tiny"
+        else jnp.bfloat16)
+
+
+def main(argv=None):
+    from flexam_tpu.conditioning import (CameraMotionGenerator,
+                                         ObjectMotionGenerator)
+    from flexam_tpu.orchestrator import (FlexAMOrchestrator,
+                                         convert_moge_to_delta_format)
+    from flexam_tpu.utils.masks import (generate_mask_bg_tracking,
+                                        generate_mask_fg_tracking)
+    from flexam_tpu.utils.media import (get_image_latent,
+                                        get_image_to_video_input,
+                                        get_maskvideo_input, get_video_input)
+
+    args = build_argparser().parse_args(argv)
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    h, w = args.sample_size
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    # ---- input ----
+    is_video = args.input_path and args.input_path.lower().endswith(
+        (".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v", ".flv", ".wmv"))
+    if args.input_path:
+        if is_video:
+            input_video, _, _ = get_video_input(
+                args.input_path, args.video_length, (h, w))
+        else:
+            frame = get_image_latent(args.input_path, (h, w))
+            input_video = np.tile(frame, (1, 1, args.video_length, 1, 1))
+            args.tracking_method = "moge"
+    else:
+        input_video = np.zeros((1, 3, args.video_length, h, w), np.float32)
+
+    # ---- repaint (path input; FLUX repaint is an external model) ----
+    repaint = None
+    if args.repaint and args.repaint.lower() != "true":
+        repaint = get_image_latent(args.repaint, (h, w))
+    elif args.repaint:
+        print("WARNING: --repaint true requires the external FLUX.1-Depth "
+              "model; pass a repainted image path instead.", file=sys.stderr)
+
+    # ---- tracks ----
+    cam = CameraMotionGenerator(args.camera_motion or "",
+                                frame_num=args.video_length, H=h, W=w,
+                                pose_file=args.pose_file)
+    extr = intr = None
+    if args.moge_npz or (args.tracking_method == "moge" and not is_video):
+        if not args.moge_npz:
+            raise SystemExit("image input requires --moge_npz (MoGe is an "
+                             "external model; provide its output fixture)")
+        moge = np.load(args.moge_npz)
+        points = np.asarray(moge["points"], np.float32)     # [H', W', 3]
+        moge_mask = np.asarray(moge["mask"]).astype(bool)
+        if "intrinsics" in moge:
+            cam.set_intr(np.asarray(moge["intrinsics"], np.float32))
+        pred = np.tile(points[None], (args.video_length, 1, 1, 1))
+        if args.object_motion:
+            mask_img = _load_mask_image(args.object_mask, h, w)
+            pred = ObjectMotionGenerator().apply_motion(
+                pred, mask_img, args.object_motion, 50,
+                num_frames=args.video_length, tracking_method="moge")
+        poses = (cam.get_default_motion() if args.camera_motion
+                 else np.tile(np.eye(4, dtype=np.float32),
+                              (args.video_length, 1, 1)))
+        hh, ww = pred.shape[1:3]
+        uvd = cam.w2s_moge(pred.reshape(args.video_length, hh * ww, 3), poses)
+        tracks, vis = convert_moge_to_delta_format(
+            uvd.reshape(args.video_length, hh, ww, 3), moge_mask, h, w)
+        point_wise = 2      # `demo.py:268` uses point_wise=2 on this path
+    else:
+        if args.tracks_npz:
+            data = np.load(args.tracks_npz)
+            tracks = np.asarray(data["tracks"], np.float32)
+            vis = np.asarray(data["visibility"]).astype(bool)
+            extr = (np.asarray(data["extrinsics"], np.float32)
+                    if "extrinsics" in data else None)
+            intr = (np.asarray(data["intrinsics"], np.float32)
+                    if "intrinsics" in data else None)
+        elif args.synthetic_tracks:
+            tracks, vis = _synthetic_grid_tracks(args.video_length, h, w,
+                                                 args.density)
+        else:
+            raise SystemExit(
+                "DELTA dense tracking is an external model "
+                "(submodules/DELTA, empty in the reference snapshot too); "
+                "pass --tracks_npz or --synthetic_tracks")
+        if args.camera_motion:
+            if extr is None or intr is None:
+                raise SystemExit("--camera_motion on the video path needs "
+                                 "extrinsics/intrinsics in --tracks_npz "
+                                 "(VGGT outputs, `demo.py:310-325`)")
+            poses = cam.get_default_motion()
+            world = cam.s2w_vggt(tracks, extr, intr)
+            tracks = cam.w2s_vggt(
+                world, extr, intr, poses,
+                override_extrinsics=args.override_extrinsics == "override")
+        if args.object_motion:
+            mask_img = _load_mask_image(args.object_mask, h, w)
+            tracks = ObjectMotionGenerator().apply_motion(
+                tracks, mask_img, args.object_motion, 50,
+                num_frames=args.video_length, tracking_method="DELTA")
+        point_wise = 4
+
+    # ---- pipeline ----
+    pipe = _build_models(args)
+    orch = FlexAMOrchestrator(pipe, output_dir=args.output_dir, fps=args.fps)
+
+    tracking, cos_videos, depth = orch.visualize_tracking(
+        tracks, vis, h, w, point_wise=point_wise,
+        generate_type=args.generate_type, mask_path=args.mask_path)
+
+    # ---- inpaint video + mask per mode (`demo.py:361-395`) ----
+    if args.generate_type == "full_edit":
+        first = repaint[:, :, 0] if repaint is not None \
+            else input_video[:, :, 0]
+        full_ref = first[:, :, None]
+        inpaint_video, inpaint_mask = get_image_to_video_input(
+            (first[0].transpose(1, 2, 0) * 255).astype(np.uint8),
+            args.video_length, (h, w))
+    else:
+        if repaint is None:
+            raise SystemExit("repaint image must be provided for "
+                             "foreground_edit/background_edit")
+        mv = get_maskvideo_input(args.mask_path, args.video_length, (h, w))
+        if args.generate_type == "foreground_edit":
+            m = generate_mask_fg_tracking(mv,
+                                          dilation_pixels=args.dilation_pixels)
+        else:
+            m = generate_mask_bg_tracking(mv)
+        inpaint_mask = (m.astype(np.float32) * 255).transpose(1, 0, 2, 3)[None]
+        inpaint_video = np.concatenate(
+            [repaint[:, :, :1], input_video[:, :, 1:]], axis=2)
+        full_ref = repaint
+
+    # tokenizer-less random-init smoke: embed prompt ids from hashing
+    if pipe.tokenizer is None:
+        print("NOTE: no tokenizer (random init); using hashed prompt ids")
+        ids = (np.frombuffer(args.prompt.encode()[:64].ljust(64), np.uint8)
+               .astype(np.int32)[: pipe.cfg.t5.text_length]
+               % pipe.cfg.t5.vocab)[None]
+        ids = np.pad(ids, ((0, 0), (0, pipe.cfg.t5.text_length - ids.shape[1])))
+        mask = (ids > 0).astype(np.int32)
+        ctx = pipe.encode_prompt_ids(ids, mask)
+        import jax.numpy as jnp
+        context = jnp.concatenate([ctx, ctx], axis=0)
+        cond = pipe.prepare_conditioning(
+            inpaint_video, inpaint_mask / 255.0, tracking, depth,
+            [cos_videos[k] for k in sorted(cos_videos)], full_ref)
+        latents = pipe.denoise(
+            cond, context, num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale, seed=args.seed,
+            density=1.0 / args.density, scheduler_type=args.scheduler,
+            cfg_skip_ratio=args.cfg_skip_ratio,
+            teacache_thresh=args.teacache_thresh)
+        out = np.asarray((pipe._decode(latents).astype(np.float32) + 1) / 2)
+        from flexam_tpu.utils.media import save_video
+        save_video(out, os.path.join(args.output_dir, "result.mp4"),
+                   fps=args.fps)
+        print(f"Final video generated at {args.output_dir}/result.mp4")
+        return
+
+    orch.apply_tracking(
+        tracking, cos_videos, depth, full_ref, inpaint_video, inpaint_mask,
+        prompt=args.prompt, num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale, density=1.0 / args.density,
+        seed=args.seed, scheduler_type=args.scheduler,
+        cfg_skip_ratio=args.cfg_skip_ratio,
+        teacache_thresh=args.teacache_thresh)
+
+
+def _load_mask_image(path, h, w):
+    if path is None:
+        raise SystemExit("--object_motion requires --object_mask")
+    from PIL import Image
+    im = Image.open(path).convert("L").resize((w, h))
+    return np.array(im) > 127
+
+
+if __name__ == "__main__":
+    main()

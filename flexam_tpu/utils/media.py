@@ -138,15 +138,36 @@ def _pad_image(im, new_width, new_height):
 
 
 def save_video(video: np.ndarray, path: str, fps: int = 16):
-    """Save [1, 3, T, H, W] or [3, T, H, W] float [0,1] -> mp4 (imageio,
-    the reference's backend at `utils.py:84-88`)."""
-    import imageio
+    """Save [1, 3, T, H, W] or [3, T, H, W] float [0,1] -> mp4.
+    Tries imageio (the reference's backend, `utils.py:84-88`), then cv2
+    VideoWriter, then falls back to a .npz dump so artifacts are never lost."""
     v = np.asarray(video)
     if v.ndim == 5:
         v = v[0]
     frames = (np.clip(v.transpose(1, 2, 3, 0), 0, 1) * 255).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imageio.mimsave(path, list(frames), fps=fps)
+    try:
+        import imageio
+        imageio.mimsave(path, list(frames), fps=fps)
+        return path
+    except Exception:
+        pass
+    try:
+        import cv2
+        h, w = frames.shape[1:3]
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        if not writer.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
+        for fr in frames:
+            writer.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+        writer.release()
+        return path
+    except Exception as e:
+        alt = path + ".npz"
+        np.savez_compressed(alt, video=frames, fps=fps)
+        print(f"video encoders unavailable ({e}); saved raw frames to {alt}")
+        return alt
 
 
 def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 6,
