@@ -136,6 +136,17 @@ def init_dit_params(key, cfg: DiTConfig, dtype=jnp.bfloat16):
         params["ref_conv"] = _conv_init(
             keys[10], (dim, cfg.in_dim_ref_conv, ph, pw), dtype)
 
+    if cfg.add_control_adapter:
+        ks = jax.random.split(keys[12], 3)
+        ph_, pw_ = cfg.patch_size[1], cfg.patch_size[2]
+        cin = (cfg.in_dim_control_adapter
+               * cfg.downscale_factor_control_adapter ** 2)
+        params["control_adapter"] = {
+            "conv": _conv_init(ks[0], (dim, cin, ph_, pw_), dtype),
+            "res_conv1": _conv_init(ks[1], (dim, dim, 3, 3), dtype),
+            "res_conv2": _conv_init(ks[2], (dim, dim, 3, 3), dtype),
+        }
+
     if cfg.add_cnn_block:
         c1, c2 = cfg.cnn_block_dims
         ks = jax.random.split(keys[11], 5)
@@ -186,6 +197,40 @@ def _ref_embed(ref: jnp.ndarray, p: dict, patch_hw: Tuple[int, int]):
     xt = xt.reshape(b, ho * wo, -1)
     wmat = p["weight"].reshape(p["weight"].shape[0], -1)
     return jnp.matmul(xt, wmat.astype(xt.dtype).T) + p["bias"].astype(xt.dtype)
+
+
+def _camera_adapter(p: dict, y_camera: jnp.ndarray,
+                    patch_hw: Tuple[int, int],
+                    downscale: int) -> jnp.ndarray:
+    """`SimpleAdapter` (`wan_camera_adapter.py:5-41`): PixelUnshuffle(8) +
+    strided conv to the patch grid + one ReLU residual block. Input
+    [B, C, F, H, W] (Plucker-embed camera video folded 4-frames-to-
+    channels by the pipeline); returns tokens [B, F*h'*w', dim]."""
+    b, c, f, h, w = y_camera.shape
+    x = y_camera.transpose(0, 2, 3, 4, 1).reshape(b * f, h, w, c)
+    d = downscale
+    # PixelUnshuffle: channel order (c, dy, dx)
+    x = x.reshape(b * f, h // d, d, w // d, d, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b * f, h // d, w // d,
+                                              c * d * d)
+    ph, pw = patch_hw
+    kern = p["conv"]["weight"].transpose(2, 3, 1, 0).astype(x.dtype)
+    x = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(ph, pw), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = x + p["conv"]["bias"].astype(x.dtype)
+
+    def conv3(xx, pp):
+        k = pp["weight"].transpose(2, 3, 1, 0).astype(xx.dtype)
+        y = jax.lax.conv_general_dilated(
+            xx, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + pp["bias"].astype(xx.dtype)
+
+    res = conv3(jax.nn.relu(conv3(x, p["res_conv1"])), p["res_conv2"])
+    x = x + res
+    hh, ww = x.shape[1], x.shape[2]
+    return x.reshape(b, f * hh * ww, -1)
 
 
 def _conv3d_1x3x3(x: jnp.ndarray, p: dict) -> jnp.ndarray:
@@ -337,6 +382,7 @@ def _dit_prepare(
     additional_control: Optional[jnp.ndarray],
     full_ref: Optional[jnp.ndarray],
     rope_tables: Optional[jnp.ndarray],
+    y_camera: Optional[jnp.ndarray] = None,
 ):
     """Everything before the block stack (`:818-975`). Returns the token
     tensor plus all per-step conditioning tensors."""
@@ -361,6 +407,13 @@ def _dit_prepare(
     tokens, grid = _patch_embed(x, params["patch_embedding"], cfg.patch_size)
     b, l_vid, _ = tokens.shape
     f, gh, gw = grid
+
+    # --- camera control adapter added to patch embeddings (`:887-889`)
+    if cfg.add_control_adapter and y_camera is not None:
+        tokens = tokens + _camera_adapter(
+            params["control_adapter"], y_camera.astype(tokens.dtype),
+            (cfg.patch_size[1], cfg.patch_size[2]),
+            cfg.downscale_factor_control_adapter)
 
     # --- reference tokens prepended (`:895-904`)
     has_ref = cfg.add_ref_conv and full_ref is not None
@@ -458,12 +511,13 @@ def dit_forward(
     full_ref: Optional[jnp.ndarray] = None,    # [B, C_lat, H, W]
     rope_tables: Optional[jnp.ndarray] = None, # [max_seq, head_dim//2] angles
     attn_fn: Callable = default_attention,
+    y_camera: Optional[jnp.ndarray] = None,    # [B, C*4, F, H, W] Plucker
 ) -> jnp.ndarray:
     """Forward pass (`WanTransformer3DModel_FlexAM.forward`, `:818-1123`).
     Returns the velocity prediction [B, out_dim, F, H, W]."""
     tokens, e0, de0, e_head, de_head, cos, sin, ctx, grid, l_ref = \
         _dit_prepare(params, cfg, x, t, context, density, y,
-                     additional_control, full_ref, rope_tables)
+                     additional_control, full_ref, rope_tables, y_camera)
     tokens = _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx, attn_fn)
     return _dit_finish(params, cfg, tokens, e_head, de_head, grid, l_ref)
 

@@ -145,3 +145,61 @@ def test_dit_forward_jits_and_is_deterministic():
     o1 = fn(params, x, t, ctx, dens, y, ac, ref)
     o2 = fn(params, x, t, ctx, dens, y, ac, ref)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_camera_adapter_and_fp8_and_lora():
+    """Aux inference features: camera adapter path, fp8 weight storage,
+    LoRA merge/unmerge round trip."""
+    import numpy as np
+    from flexam_tpu.config import DiTConfig
+    from flexam_tpu.models.dit import dit_forward, init_dit_params
+    from flexam_tpu.utils.fp8 import cast_weights, convert_weights_to_fp8
+    from flexam_tpu.utils.lora import merge_lora, unmerge_lora
+
+    cfg = DiTConfig(dim=32, ffn_dim=64, num_heads=2, num_layers=2,
+                    in_dim=4, out_dim=4, add_ref_conv=False,
+                    add_cnn_block=False, add_control_adapter=True,
+                    in_dim_control_adapter=8,
+                    downscale_factor_control_adapter=2,
+                    text_dim=16, freq_dim=8, text_len=4, rope_max_seq=16)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 2, 4, 4), jnp.float32)
+    t = jnp.array([500.0], jnp.float32)
+    ctx = jnp.zeros((1, 4, 16), jnp.float32)
+    cam = jnp.ones((1, 8, 2, 8, 8), jnp.float32)   # pixel res = 2x2x latent
+    out_nocam = dit_forward(params, cfg, x, t, ctx)
+    out_cam = dit_forward(params, cfg, x, t, ctx, y_camera=cam)
+    assert out_cam.shape == out_nocam.shape
+    assert not np.allclose(np.asarray(out_cam), np.asarray(out_nocam))
+
+    # fp8 storage round-trip: quantize, cast back, forward still works
+    p8 = convert_weights_to_fp8(params)
+    assert p8["blocks"]["ffn"]["fc1"]["weight"].dtype == jnp.float8_e4m3fn
+    assert p8["blocks"]["modulation"].dtype == jnp.float32  # excluded
+    out8 = dit_forward(cast_weights(p8, jnp.float32), cfg, x, t, ctx)
+    assert np.isfinite(np.asarray(out8)).all()
+
+    # LoRA merge/unmerge round trip
+    rng = np.random.RandomState(0)
+    lora = {
+        "lora_unet_blocks_1_self_attn_q.lora_down.weight":
+            rng.randn(2, 32).astype(np.float32),
+        "lora_unet_blocks_1_self_attn_q.lora_up.weight":
+            rng.randn(32, 2).astype(np.float32),
+        "lora_unet_blocks_1_self_attn_q.alpha": np.float32(2.0),
+        "blocks.0.ffn.0.lora_A.weight": rng.randn(2, 32).astype(np.float32),
+        "blocks.0.ffn.0.lora_B.weight": rng.randn(64, 2).astype(np.float32),
+    }
+    merged = merge_lora(params, lora, multiplier=0.7)
+    assert not np.allclose(
+        np.asarray(merged["blocks"]["self_attn"]["q"]["weight"]),
+        np.asarray(params["blocks"]["self_attn"]["q"]["weight"]))
+    restored = unmerge_lora(merged, lora, multiplier=0.7)
+    np.testing.assert_allclose(
+        np.asarray(restored["blocks"]["self_attn"]["q"]["weight"]),
+        np.asarray(params["blocks"]["self_attn"]["q"]["weight"]),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(restored["blocks"]["ffn"]["fc1"]["weight"]),
+        np.asarray(params["blocks"]["ffn"]["fc1"]["weight"]),
+        rtol=1e-5, atol=1e-6)
