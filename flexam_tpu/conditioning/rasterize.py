@@ -51,7 +51,16 @@ def _center_mask_filter(pixels: np.ndarray, mask_video: Optional[np.ndarray],
 def _paint_frame(height: int, width: int, pixels: np.ndarray,
                  colors: np.ndarray, depths: np.ndarray,
                  side_length: int) -> np.ndarray:
-    """One frame: depth-sorted square splat, last-write-wins overdraw."""
+    """One frame: depth-sorted square splat, last-write-wins overdraw.
+    Uses the C++ painter (flexam_tpu.native) when built, else numpy."""
+    from flexam_tpu import native
+    if native.available() and len(pixels):
+        out = native.paint_frames(
+            1, height, width, side_length // 2,
+            np.array([0, len(pixels)], np.int64), pixels,
+            depths.astype(np.float32), colors)
+        if out is not None:
+            return out[0]
     img = np.zeros((height * width + 1, 3), np.uint8)
     if len(pixels) == 0:
         return img[:-1].reshape(height, width, 3)
