@@ -478,12 +478,28 @@ def _dit_prepare(
     return tokens, e0, de0, e_head, de_head, cos, sin, ctx, grid, l_ref
 
 
-def _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx, attn_fn):
-    """The 30-block stack under `lax.scan` (`:1052-1089`)."""
+def _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx, attn_fn,
+                remat: str = "none"):
+    """The 30-block stack under `lax.scan` (`:1052-1089`).
+
+    `remat` replaces the reference's selective activation checkpointing
+    (`FlexAM/utils/ac_handle.py:16-64` wraps a fraction p of blocks):
+      * "none"  — keep all activations (inference default);
+      * "full"  — jax.checkpoint every block (p=1);
+      * "dots"  — remat with the save-dots-except-small policy: matmul
+        outputs are kept, elementwise chains recomputed — the XLA-idiomatic
+        middle ground the torch fractional wrapper approximates.
+    """
     def body(carry, bp):
         out = _block_forward(bp, carry, e0, de0, cos, sin, ctx, cfg, attn_fn)
         out = token_constraint(out, ("dp", "sp", None))
         return out, None
+
+    if remat == "full":
+        body = jax.checkpoint(body)
+    elif remat == "dots":
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     tokens, _ = jax.lax.scan(body, tokens, params["blocks"])
     return tokens

@@ -1,0 +1,98 @@
+"""Training-data layer tests (bucket sampler, timestep sampler, random
+masks, annotation-driven dataset)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from flexam_tpu.data import (ASPECT_RATIO_512, AspectRatioBucketSampler,
+                             DiscreteSampling, get_closest_ratio)
+from flexam_tpu.data.dataset import ImageVideoControlDataset, get_random_mask
+
+
+def test_aspect_table_matches_reference_values():
+    # spot-check entries against the reference table values
+    # (`bucket_sampler.py:12-23`)
+    assert ASPECT_RATIO_512["1"] == (512.0, 512.0)
+    assert ASPECT_RATIO_512["0.25"] == (256.0, 1024.0)
+    assert ASPECT_RATIO_512["4"] == (1024.0, 256.0)
+    assert ASPECT_RATIO_512["0.57"] == (384.0, 672.0)
+    size, ratio = get_closest_ratio(512, 896)
+    assert size == (384.0, 672.0) and ratio == pytest.approx(0.57)
+
+
+def test_bucket_sampler_groups_consistent():
+    rng = np.random.RandomState(0)
+    sizes = [(512, 512)] * 10 + [(512, 896)] * 10
+    is_video = [False] * 10 + [True] * 10
+    sampler = AspectRatioBucketSampler(sizes, is_video, batch_size=4)
+    for batch in sampler:
+        kinds = {is_video[i] for i in batch}
+        ratios = {get_closest_ratio(*sizes[i])[1] for i in batch}
+        assert len(kinds) == 1 and len(ratios) == 1
+        assert len(batch) == 4
+
+
+def test_discrete_sampling_sp_groups():
+    """Ranks in the same SP group sample from the same sigma interval
+    (`discrete_sampler.py:5-52`)."""
+    key = jax.random.PRNGKey(0)
+    world, sp = 8, 4
+    samplers = [DiscreteSampling(1000, uniform_sampling=True, sp_size=sp,
+                                 world_size=world, rank=r)
+                for r in range(world)]
+    idx = [np.asarray(s(16, key)) for s in samplers]
+    # group width 4 -> ranks 0-3 share interval [0,500), 4-7 share [500,1000)
+    for r in range(4):
+        assert idx[r].min() >= 0 and idx[r].max() < 500
+    for r in range(4, 8):
+        assert idx[r].min() >= 500 and idx[r].max() < 1000
+
+
+def test_random_mask_image_start_only():
+    m = get_random_mask((9, 1, 8, 8), np.random.RandomState(0))
+    assert m[0].sum() == 0 and (m[1:] == 1).all()
+
+
+def test_dataset_schema(tmp_path):
+    import cv2
+    h, w, t = 64, 64, 9
+
+    def write_video(name):
+        p = str(tmp_path / name)
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 16, (w, h))
+        for i in range(t):
+            vw.write(np.full((h, w, 3), i * 20, np.uint8))
+        vw.release()
+        return name
+
+    ann = [{
+        "file_path": write_video("v.mp4"),
+        "control_file_path": write_video("v_control.mp4"),
+        "depth_file_path": write_video("v_depth.mp4"),
+        "cos_file_paths": [write_video("v_cos_i_0.mp4")],
+        "density": 10,
+        "text": "a test video",
+        "generate_type": "full_tracking",
+    }]
+    # missing cos levels are synthesized files too
+    for i in range(1, 4):
+        write_video(f"v_cos_i_{i}.mp4")
+    ann_path = str(tmp_path / "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+
+    ds = ImageVideoControlDataset(ann_path, video_sample_size=(h, w),
+                                  video_sample_n_frames=t)
+    s = ds[0]
+    assert s["pixel_values"].shape == (3, t, h, w)
+    assert s["control_pixel_values"].shape == (3, t, h, w)
+    assert s["depth_pixel_values"].shape == (3, t, h, w)
+    assert len(s["cos_pixel_values_list"]) == 4
+    assert s["density"] == pytest.approx(0.1)
+    assert s["mask"].shape == (1, t, h, w)
+    assert s["mask"][:, 0].sum() == 0
+    assert -1.0 <= s["pixel_values"].min() and s["pixel_values"].max() <= 1.0
