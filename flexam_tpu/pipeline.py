@@ -146,10 +146,19 @@ class FlexAMGenerationPipeline:
 
     def tokenize(self, prompts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         """umT5 tokenization, max_length pad/truncate to text_length
-        (`pipeline...FlexAM.py:205-213`)."""
+        (`pipeline...FlexAM.py:205-213`). Without a tokenizer (random-init
+        smoke runs) prompts hash to deterministic ids."""
+        tl = self.cfg.t5.text_length
+        if self.tokenizer is None:
+            ids = np.zeros((len(prompts), tl), np.int32)
+            for i, p in enumerate(prompts):
+                raw = np.frombuffer(p.encode()[:tl] or b"\x01",
+                                    np.uint8).astype(np.int32)
+                ids[i, :len(raw)] = raw % max(self.cfg.t5.vocab, 2)
+            return ids, (ids > 0).astype(np.int32)
         enc = self.tokenizer(
             prompts, padding="max_length",
-            max_length=self.cfg.t5.text_length, truncation=True,
+            max_length=tl, truncation=True,
             add_special_tokens=True, return_tensors="np")
         return enc["input_ids"].astype(np.int32), \
             enc["attention_mask"].astype(np.int32)
