@@ -209,6 +209,26 @@ def load_reference_dit():
     CPU torch."""
     _install_diffusers_stub()
 
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_tf = types.ModuleType("torchvision.transforms")
+
+        class _Normalize:
+            def __init__(self, mean=None, std=None):
+                self.mean, self.std = mean, std
+
+        class _Compose:
+            def __init__(self, transforms):
+                self.transforms = transforms
+
+        for name in ("Normalize", "Resize", "CenterCrop", "ToTensor"):
+            setattr(tv_tf, name, _Normalize)
+        tv_tf.Compose = _Compose
+        tv_tf.InterpolationMode = types.SimpleNamespace(BICUBIC=3)
+        tv.transforms = tv_tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_tf
+
     utils_diff = sys.modules["diffusers.utils"]
     if not hasattr(utils_diff, "is_torch_version"):
         import torch
