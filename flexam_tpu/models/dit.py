@@ -298,17 +298,28 @@ def _block_forward(bp, x, e0, de0, cos, sin, context, cfg: DiTConfig,
                    attn_fn, k_len=None):
     """`WanAttentionBlock.forward` (`:422-472`).
 
-    e0:  [B, Lm, 6, dim] fp32 (Lm in {1, L} — per-token or scalar timestep)
+    e0:  [B, Lm, 6, dim] fp32 (Lm in {1, L}) or the binary-timestep tuple
+         ("binary", e0_pair [B, 2, 6, dim], mask [B, L])
     de0: [B, 1, 2, dim] fp32 density terms
     """
     dtype = x.dtype
     mod = bp["modulation"].astype(jnp.float32)[None]         # [1,1,6,dim]
-    e = mod + e0                                              # [B,Lm,6,dim]
     dmod = bp["modulation_density"].astype(jnp.float32)[None]
     de = dmod + de0                                           # [B,1,2,dim]
 
-    def term(i):
-        return e[:, :, i, :].astype(dtype)
+    if isinstance(e0, tuple):
+        _, pair, mask = e0
+        e_pair = mod + pair                                   # [B,2,6,dim]
+        m = mask[:, :, None]                                  # [B,L,1]
+
+        def term(i):
+            ti = e_pair[:, :, i, :]                           # [B,2,dim]
+            return (ti[:, 0:1] * m + ti[:, 1:2] * (1 - m)).astype(dtype)
+    else:
+        e = mod + e0                                          # [B,Lm,6,dim]
+
+        def term(i):
+            return e[:, :, i, :].astype(dtype)
 
     def dterm(i):
         return de[:, :, i, :].astype(dtype)
@@ -383,6 +394,7 @@ def _dit_prepare(
     full_ref: Optional[jnp.ndarray],
     rope_tables: Optional[jnp.ndarray],
     y_camera: Optional[jnp.ndarray] = None,
+    binary_t_mask: Optional[jnp.ndarray] = None,
 ):
     """Everything before the block stack (`:818-975`). Returns the token
     tensor plus all per-step conditioning tensors."""
@@ -440,7 +452,32 @@ def _dit_prepare(
         h1 = silu(linear(emb, _f32(params["time_embedding"]["fc1"])))
         return linear(h1, _f32(params["time_embedding"]["fc2"]))
 
-    if t.ndim == 2:   # per-token
+    if binary_t_mask is not None:
+        # Binary-timestep fast path: the TI2V per-token pattern has only
+        # two values — t on generated tokens, 0 on known ones
+        # (`pipeline...FlexAM.py:891-898`). Run the time MLP on the two
+        # scalars and select per token downstream instead of carrying a
+        # [B, L, 6, dim] fp32 tensor (~1.7 GB at the default workload).
+        assert t.ndim == 1
+        pair = jnp.stack([t.astype(jnp.float32),
+                          jnp.zeros_like(t, jnp.float32)], axis=1)  # [B,2]
+        e_pair = time_mlp(pair)                                # [B, 2, dim]
+        e0_pair = linear(silu(e_pair), _f32(params["time_projection"]["fc"]))
+        e0_pair = e0_pair.reshape(b, 2, 6, cfg.dim)
+        mask = binary_t_mask.astype(jnp.float32)               # [B, L_video]
+        if mask.shape[1] < seq_len:   # ref + tail tokens use t (mask=1)
+            padn = seq_len - mask.shape[1]
+            if l_ref:
+                mask = jnp.concatenate(
+                    [jnp.ones((b, l_ref), mask.dtype), mask,
+                     jnp.ones((b, padn - l_ref), mask.dtype)], axis=1)
+            else:
+                mask = jnp.concatenate(
+                    [mask, jnp.ones((b, padn), mask.dtype)], axis=1)
+        e0 = ("binary", e0_pair, mask)       # resolved inside the blocks
+        e_head = (e_pair[:, 0:1] * mask[:, :, None]
+                  + e_pair[:, 1:2] * (1 - mask[:, :, None]))   # [B, L, dim]
+    elif t.ndim == 2:   # general per-token
         if t.shape[1] < seq_len:   # pad tail with last element (`:929-934`)
             padn = seq_len - t.shape[1]
             t = jnp.concatenate([t, jnp.repeat(t[:, -1:], padn, axis=1)], axis=1)
@@ -528,12 +565,14 @@ def dit_forward(
     rope_tables: Optional[jnp.ndarray] = None, # [max_seq, head_dim//2] angles
     attn_fn: Callable = default_attention,
     y_camera: Optional[jnp.ndarray] = None,    # [B, C*4, F, H, W] Plucker
+    binary_t_mask: Optional[jnp.ndarray] = None,  # [B, L_video] 1=t, 0=zero
 ) -> jnp.ndarray:
     """Forward pass (`WanTransformer3DModel_FlexAM.forward`, `:818-1123`).
     Returns the velocity prediction [B, out_dim, F, H, W]."""
     tokens, e0, de0, e_head, de_head, cos, sin, ctx, grid, l_ref = \
         _dit_prepare(params, cfg, x, t, context, density, y,
-                     additional_control, full_ref, rope_tables, y_camera)
+                     additional_control, full_ref, rope_tables, y_camera,
+                     binary_t_mask)
     tokens = _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx, attn_fn)
     return _dit_finish(params, cfg, tokens, e_head, de_head, grid, l_ref)
 
@@ -573,6 +612,7 @@ def dit_forward_teacache(
     coefficients: Tuple[float, ...] = WAN22_TEACACHE_COEFFICIENTS,
     rel_l1_thresh: float = 0.10,
     num_skip_start_steps: int = 5,
+    binary_t_mask: Optional[jnp.ndarray] = None,
 ):
     """TeaCache forward (`wan_transformer3d_FlexAM.py:977-1008,1048-1051`):
     poly-rescaled rel-L1 of the modulated input accumulates across steps;
@@ -583,11 +623,16 @@ def dit_forward_teacache(
     """
     tokens, e0, de0, e_head, de_head, cos, sin, ctx, grid, l_ref = \
         _dit_prepare(params, cfg, x, t, context, density, y,
-                     additional_control, full_ref, rope_tables)
+                     additional_control, full_ref, rope_tables, None,
+                     binary_t_mask)
 
     # modulated input: e0 (scalar t) or the last token's e0 (per-token t,
-    # `:981-983`); e0 is [B, 1 or L, 6, dim] here, so [:, -1] covers both
-    mod = e0[:, -1].astype(jnp.float32)
+    # `:981-983`). The last token is always a t-valued one, so in binary
+    # mode this is the pair's t branch.
+    if isinstance(e0, tuple):
+        mod = e0[1][:, 0].astype(jnp.float32)
+    else:
+        mod = e0[:, -1].astype(jnp.float32)
 
     prev_mod = tea_state["prev_mod"]
     rel = jnp.mean(jnp.abs(mod - prev_mod)) / (jnp.mean(jnp.abs(prev_mod))

@@ -409,15 +409,17 @@ class FlexAMGenerationPipeline:
             yb = jnp.tile(y_single, (batch, 1, 1, 1, 1))
             acb = jnp.tile(additional_control, (batch, 1, 1, 1, 1))
             refb = jnp.tile(ref_latents, (batch, 1, 1, 1))
-            if per_token_t:
-                t_in = jnp.repeat((tok_pattern * t_scalar)[None], batch, 0)
-            else:
-                t_in = jnp.full((batch,), t_scalar, jnp.float32)
+            t_in = jnp.full((batch,), t_scalar, jnp.float32)
+            # binary-timestep fast path: the TI2V per-token pattern has
+            # exactly two values (t / 0), so the DiT runs the time MLP on
+            # the pair and selects per token (see dit.py)
+            bmask = (jnp.repeat(tok_pattern[None], batch, 0)
+                     if per_token_t else None)
             dens = (jnp.full((batch,), density, jnp.float32)
                     if has_density else None)
             kw = dict(density=dens, y=yb, additional_control=acb,
                       full_ref=refb, rope_tables=self.rope_tables,
-                      attn_fn=self.attn_fn)
+                      attn_fn=self.attn_fn, binary_t_mask=bmask)
             if use_teacache:
                 return dit_forward_teacache(
                     params, cfg, xb, t_in, ctx, tea, i,

@@ -103,3 +103,19 @@ def test_per_token_timestep_parity(ref_model, mapped_params):
         mapped_params, CFG, x, t, ctx, density=density, y=y,
         additional_control=additional, full_ref=ref))
     np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=2e-4)
+
+
+def test_binary_timestep_fast_path_parity(ref_model, mapped_params):
+    """The binary-timestep fast path (time MLP on the (t, 0) pair + per-
+    token select) must match the reference's full per-token computation."""
+    x, y, additional, ref, ctx, density = _inputs(2)
+    mask = np.ones((B, SEQ), np.float32)
+    mask[:, : SEQ // 2] = 0.0
+    t_full = np.full((B, SEQ), 432.0, np.float32) * mask
+    ref_out = _run_ref(ref_model, x, y, additional, ref, ctx, density,
+                       t_full)
+    ours = np.asarray(dit_forward(
+        mapped_params, CFG, x, np.array([432.0], np.float32), ctx,
+        density=density, y=y, additional_control=additional, full_ref=ref,
+        binary_t_mask=mask))
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=2e-4)
