@@ -134,8 +134,8 @@ def flash_attention(
     v: jnp.ndarray,
     k_len: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    blq: int = 256,
-    blk: int = 512,
+    blq: int = 1024,
+    blk: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, L, H, D] tensors (same layout as the
