@@ -38,6 +38,8 @@ from flexam_tpu.models.dit import (WAN22_TEACACHE_COEFFICIENTS, dit_forward,
                                    make_rope_tables_for)
 from flexam_tpu.models.t5 import t5_encode
 from flexam_tpu.models.vae import vae_decode, vae_encode_mode
+from flexam_tpu.models.vae_stream import (vae_decode_streamed,
+                                          vae_encode_mode_streamed)
 from flexam_tpu.core.attention import attention as default_attention
 from flexam_tpu.sampling import build_schedule
 from flexam_tpu.sampling.flow_match import (sampler_init_state, sampler_step,
@@ -192,8 +194,21 @@ class FlexAMGenerationPipeline:
 
     # -- VAE stages ----------------------------------------------------------
 
+    # whole-clip VAE compute above this many pixel-frame-elements switches
+    # to the group-streamed path (the whole-clip decode needs ~46 GB HBM at
+    # 512x896x97f; see flexam_tpu/models/vae_stream.py)
+    VAE_STREAM_THRESHOLD = 64 * 10_000_000
+
+    def _use_streaming(self, n_clips, t, h, w) -> bool:
+        return n_clips * t * h * w > self.VAE_STREAM_THRESHOLD
+
     def _encode_clips(self, clips: jnp.ndarray) -> jnp.ndarray:
         """Batched encode of N same-shape clips [N, 3, T, H, W] in [-1,1]."""
+        n, _, t, h, w = clips.shape
+        if self._use_streaming(n, t, h, w):
+            return vae_encode_mode_streamed(
+                self.models.vae_params, self.cfg.vae,
+                clips.astype(self.compute_dtype))
         return self._vae_encode_jit(self.models.vae_params, clips)
 
     @partial(jax.jit, static_argnums=(0,))
@@ -201,6 +216,11 @@ class FlexAMGenerationPipeline:
         return vae_encode_mode(vae_params, self.cfg.vae, clips)
 
     def _decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        n, _, lt, lh, lw = latents.shape
+        if self._use_streaming(n, lt * 4, lh * 16, lw * 16):
+            return vae_decode_streamed(
+                self.models.vae_params, self.cfg.vae,
+                latents.astype(self.compute_dtype))
         return self._vae_decode_jit(self.models.vae_params, latents)
 
     @partial(jax.jit, static_argnums=(0,))
