@@ -144,6 +144,21 @@ class FlexAMGenerationPipeline:
         self.rope_tables = jnp.asarray(
             make_rope_tables_for(models.cfg.dit), jnp.float32)
 
+    def enable_riflex(self, k: int, L_test: int,
+                      L_test_scale: Optional[float] = None):
+        """RIFLEx long-video RoPE (`wan_transformer3d_FlexAM.py:774-790`,
+        ComfyUI `FunRiflex` node): rescale the k-th temporal frequency to
+        0.9*2pi/L_test so extrapolated frames stay within one period."""
+        riflex = {"k": k, "L_test": L_test}
+        if L_test_scale is not None:
+            riflex["L_test_scale"] = L_test_scale
+        self.rope_tables = jnp.asarray(
+            make_rope_tables_for(self.cfg.dit, riflex=riflex), jnp.float32)
+
+    def disable_riflex(self):
+        self.rope_tables = jnp.asarray(
+            make_rope_tables_for(self.cfg.dit), jnp.float32)
+
     # -- prompts ------------------------------------------------------------
 
     def tokenize(self, prompts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
