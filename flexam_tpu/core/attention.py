@@ -60,7 +60,7 @@ def xla_attention(
 @functools.lru_cache(maxsize=1)
 def _default_backend() -> str:
     env = os.environ.get("FLEXAM_ATTENTION", "").lower()
-    if env in ("pallas", "xla"):
+    if env in ("pallas", "xla", "pallas_int8"):
         return env
     try:
         platform = jax.devices()[0].platform
@@ -79,6 +79,13 @@ def attention(
 ) -> jnp.ndarray:
     """Dispatching attention over [B, L, H, D] tensors."""
     backend = backend or _default_backend()
+    if backend == "pallas_int8":
+        from flexam_tpu.ops.int8_attention import int8_flash_attention
+
+        try:
+            return int8_flash_attention(q, k, v, k_len=k_len, scale=scale)
+        except NotImplementedError:
+            return xla_attention(q, k, v, k_len=k_len, scale=scale)
     if backend == "pallas":
         from flexam_tpu.ops.flash_attention import flash_attention
 

@@ -212,7 +212,7 @@ class FlexAMGenerationPipeline:
     # whole-clip VAE compute above this many pixel-frame-elements switches
     # to the group-streamed path (the whole-clip decode needs ~46 GB HBM at
     # 512x896x97f; see flexam_tpu/models/vae_stream.py)
-    VAE_STREAM_THRESHOLD = 64 * 10_000_000
+    VAE_STREAM_THRESHOLD = 24_000_000
 
     def _use_streaming(self, n_clips, t, h, w) -> bool:
         return n_clips * t * h * w > self.VAE_STREAM_THRESHOLD
@@ -220,15 +220,20 @@ class FlexAMGenerationPipeline:
     def _encode_clips(self, clips: jnp.ndarray) -> jnp.ndarray:
         """Batched encode of N same-shape clips [N, 3, T, H, W] in [-1,1]."""
         n, _, t, h, w = clips.shape
+        clips = clips.astype(self.compute_dtype)
         if self._use_streaming(n, t, h, w):
-            return vae_encode_mode_streamed(
-                self.models.vae_params, self.cfg.vae,
-                clips.astype(self.compute_dtype))
+            # stream per clip: the grouped compiles are reused across clips
+            # and per-clip activations stay bounded
+            outs = [vae_encode_mode_streamed(
+                self.models.vae_params, self.cfg.vae, clips[i:i + 1])
+                for i in range(n)]
+            return jnp.concatenate(outs, axis=0)
         return self._vae_encode_jit(self.models.vae_params, clips)
 
     @partial(jax.jit, static_argnums=(0,))
     def _vae_encode_jit(self, vae_params, clips):
-        return vae_encode_mode(vae_params, self.cfg.vae, clips)
+        return vae_encode_mode(vae_params, self.cfg.vae,
+                               clips.astype(self.compute_dtype))
 
     def _decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         n, _, lt, lh, lw = latents.shape

@@ -62,3 +62,20 @@ def test_flash_attention_rejects_bad_head_dim():
     q, k, v = _rand_qkv(rs, 1, 8, 8, 1, 24)
     with pytest.raises(NotImplementedError):
         flash_attention(q, k, v, interpret=True)
+
+
+def test_int8_attention_close_to_xla():
+    """SageAttention-equivalent int8 kernel: quantization error stays
+    small vs exact attention (interpret mode on CPU)."""
+    from flexam_tpu.ops.int8_attention import int8_flash_attention
+
+    rng = np.random.RandomState(0)
+    q = rng.randn(1, 256, 2, 128).astype(np.float32)
+    k = rng.randn(1, 256, 2, 128).astype(np.float32)
+    v = rng.randn(1, 256, 2, 128).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    out = np.asarray(int8_flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True))
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
