@@ -1,0 +1,80 @@
+"""Sharding layer tests on the 8-device virtual CPU mesh: Ulysses
+attention parity, param sharding placement, token constraints."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexam_tpu.core.attention import xla_attention
+from flexam_tpu.parallel import (activation_sharding, dit_param_shardings,
+                                 make_mesh, shard_pytree)
+from flexam_tpu.parallel.ulysses import make_ulysses_attention
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh({"dp": 2, "sp": 2, "tp": 2},
+                     devices=jax.devices()[:8])
+
+
+def test_ulysses_self_attention_parity(mesh):
+    rng = np.random.RandomState(0)
+    b, l, h, d = 2, 64, 4, 32
+    q = rng.randn(b, l, h, d).astype(np.float32)
+    k = rng.randn(b, l, h, d).astype(np.float32)
+    v = rng.randn(b, l, h, d).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    attn = make_ulysses_attention(mesh, inner=xla_attention)
+    out = np.asarray(jax.jit(attn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ulysses_cross_attention_parity(mesh):
+    rng = np.random.RandomState(1)
+    b, lq, lk, h, d = 2, 64, 16, 4, 32
+    q = rng.randn(b, lq, h, d).astype(np.float32)
+    k = rng.randn(b, lk, h, d).astype(np.float32)
+    v = rng.randn(b, lk, h, d).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    attn = make_ulysses_attention(mesh, inner=xla_attention)
+    out = np.asarray(jax.jit(attn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dit_params_tp_sharding(mesh):
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import init_dit_params
+
+    cfg = tiny_test_config().dit
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    sharded = shard_pytree(params, dit_param_shardings(mesh, params))
+    qw = sharded["blocks"]["self_attn"]["q"]["weight"]
+    # [L, out, in] sharded over tp on the out dim -> each shard holds out/2
+    shard_shapes = {s.data.shape for s in qw.addressable_shards}
+    assert shard_shapes == {(cfg.num_layers, cfg.dim // 2, cfg.dim)}
+    ow = sharded["blocks"]["self_attn"]["o"]["weight"]
+    shard_shapes = {s.data.shape for s in ow.addressable_shards}
+    assert shard_shapes == {(cfg.num_layers, cfg.dim, cfg.dim // 2)}
+
+
+def test_ulysses_inside_dit_forward(mesh):
+    """Full DiT forward with the Ulysses attn_fn under the mesh."""
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import dit_forward, init_dit_params
+
+    cfg = tiny_test_config().dit
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, cfg.in_dim, 2, 4, 4).astype(np.float32)
+    t = np.array([500.0, 500.0], np.float32)
+    ctx = rng.randn(2, cfg.text_len, cfg.text_dim).astype(np.float32) * 0.1
+
+    ref = np.asarray(dit_forward(params, cfg, x, t, ctx))
+    attn = make_ulysses_attention(mesh, inner=xla_attention)
+    with activation_sharding(mesh):
+        out = np.asarray(dit_forward(params, cfg, x, t, ctx, attn_fn=attn))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
