@@ -26,3 +26,20 @@ from flexam_tpu.config import (  # noqa: F401
     WAN22_5B_FLEXAM,
     tiny_test_config,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import flexam_tpu` light)."""
+    if name == "FlexAMGenerationPipeline":
+        from flexam_tpu.pipeline import FlexAMGenerationPipeline
+        return FlexAMGenerationPipeline
+    if name == "FlexAMModels":
+        from flexam_tpu.pipeline import FlexAMModels
+        return FlexAMModels
+    if name == "FlexAMOrchestrator":
+        from flexam_tpu.orchestrator import FlexAMOrchestrator
+        return FlexAMOrchestrator
+    if name == "FirstFrameRepainter":
+        from flexam_tpu.repaint import FirstFrameRepainter
+        return FirstFrameRepainter
+    raise AttributeError(name)
