@@ -269,33 +269,39 @@ class FlexAMGenerationPipeline:
         lw = w // cfgv.spatial_compression_ratio
         dt = self.compute_dtype
 
-        video = jnp.asarray(video, jnp.float32)
-        to_enc = []
+        # conditioning clips are prepared HOST-side and encoded one at a
+        # time when large: materializing all 7 full-res fp32 clips on the
+        # chip next to the 5B weights OOMs a 16 GB v5e
+        video = np.asarray(video, np.float32)
 
-        # masked video (`:662-673`)
         if mask_video is not None:
-            mask01 = (jnp.asarray(mask_video, jnp.float32) > 0.5
-                      ).astype(jnp.float32)
+            mask01_np = (np.asarray(mask_video, np.float32) > 0.5
+                         ).astype(np.float32)
             # the reference masks AFTER [-1,1] normalization, so masked
             # pixels are 0 = mid-gray (`:662`)
-            masked_video = (video * 2.0 - 1.0) * (mask01 < 0.5)
+            masked_np = (video * 2.0 - 1.0) * (mask01_np < 0.5)
         else:
-            mask01 = jnp.ones((1, 1, t, h, w), jnp.float32)
-            masked_video = jnp.zeros_like(video)
-        to_enc.append(masked_video)
+            mask01_np = np.ones((1, 1, t, h, w), np.float32)
+            masked_np = np.zeros_like(video)
+        mask01 = jnp.asarray(mask01_np)
 
         def norm(v):
-            return jnp.asarray(v, jnp.float32) * 2.0 - 1.0
+            return np.asarray(v, np.float32) * 2.0 - 1.0
 
-        to_enc.append(norm(control_video) if control_video is not None
-                      else jnp.zeros_like(video))
-        to_enc.append(norm(depth_video) if depth_video is not None
-                      else jnp.zeros_like(video))
+        clips = [masked_np,
+                 norm(control_video) if control_video is not None
+                 else np.zeros_like(video),
+                 norm(depth_video) if depth_video is not None
+                 else np.zeros_like(video)]
         n_cos = len(cos_videos) if cos_videos else 0
         if cos_videos:
-            to_enc.extend(norm(v) for v in cos_videos)
+            clips.extend(norm(v) for v in cos_videos)
 
-        lat = self._encode_clips(jnp.concatenate(to_enc, axis=0))
+        if self._use_streaming(1, t, h, w):
+            lats = [self._encode_clips(c) for c in clips]
+            lat = jnp.concatenate(lats, axis=0)
+        else:
+            lat = self._encode_clips(np.concatenate(clips, axis=0))
         idx = 0
         masked_video_latents = lat[idx:idx + 1]; idx += 1
         control_latents = lat[idx:idx + 1]; idx += 1

@@ -1,0 +1,65 @@
+"""Training step: loss decreases on a fixed batch; sharded variant runs
+on the 8-device mesh with ZeRO-style optimizer-state placement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexam_tpu.config import tiny_test_config
+from flexam_tpu.models.dit import init_dit_params
+from flexam_tpu.parallel import (activation_sharding, dit_param_shardings,
+                                 make_mesh, shard_pytree)
+from flexam_tpu.train import make_train_state, train_step
+
+
+def _batch(cfg, rng):
+    c = cfg.dit.out_dim      # latent channels
+    return {
+        "latents": rng.randn(2, c, 2, 4, 4).astype(np.float32),
+        "context": rng.randn(2, cfg.dit.text_len,
+                             cfg.dit.text_dim).astype(np.float32) * 0.1,
+        "density": np.array([0.1, 0.1], np.float32),
+        "y": rng.randn(2, c + 4 + c, 2, 4, 4).astype(np.float32),
+        "additional_control": rng.randn(2, 5 * c, 2, 4, 4
+                                        ).astype(np.float32),
+        "full_ref": rng.randn(2, c, 4, 4).astype(np.float32),
+    }
+
+
+def test_train_step_reduces_loss():
+    cfg = tiny_test_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg.dit,
+                             dtype=jnp.float32)
+    tx, opt_state = make_train_state(params, learning_rate=1e-3)
+    batch = _batch(cfg, np.random.RandomState(0))
+    step = jax.jit(lambda p, o, b, k: train_step(p, o, tx, cfg.dit, b, k))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step(params, opt_state, batch, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_sharded():
+    mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2},
+                     devices=jax.devices()[:8])
+    cfg = tiny_test_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg.dit,
+                             dtype=jnp.float32)
+    shardings = dit_param_shardings(mesh, params)
+    params = shard_pytree(params, shardings)
+    tx, opt_state = make_train_state(params, param_shardings=shardings)
+    batch = _batch(cfg, np.random.RandomState(1))
+    with activation_sharding(mesh):
+        step = jax.jit(lambda p, o, b, k: train_step(p, o, tx, cfg.dit, b, k))
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.PRNGKey(2))
+        loss = float(loss)
+    assert np.isfinite(loss)
+    # optimizer moments keep the TP sharding of their params
+    mu_q = opt_state[0].mu["blocks"]["self_attn"]["q"]["weight"]
+    shapes = {s.data.shape for s in mu_q.addressable_shards}
+    assert shapes == {(cfg.dit.num_layers, cfg.dit.dim // 2, cfg.dit.dim)}
