@@ -261,3 +261,65 @@ def load_dit_checkpoint(path: str, cfg: DiTConfig, dtype=np.float32) -> dict:
 def load_t5_checkpoint(path: str, cfg: T5Config, dtype=np.float32) -> dict:
     from flexam_tpu.models.t5 import t5_params_from_state_dict
     return t5_params_from_state_dict(_load_one(path), cfg, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pytree save/restore (training checkpoints; the reference only loads)
+# ---------------------------------------------------------------------------
+
+def save_pytree(path: str, tree) -> None:
+    """Flatten a params pytree to a single .npz keyed by '/'-joined paths
+    (bf16 leaves stored as uint16 views for numpy compatibility)."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = {}
+
+    def visit(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(f"{prefix}/{k}" if prefix else str(k), v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                visit(f"{prefix}/{i}", v)
+        else:
+            arr = np.asarray(node)
+            if arr.dtype == jnp.bfloat16:
+                flat[prefix + "::bf16"] = arr.view(np.uint16)
+            else:
+                flat[prefix] = arr
+
+    visit("", tree)
+    np.savez(path, **flat)
+
+
+def load_pytree_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a save_pytree .npz back into a flat '/'-path dict."""
+    import ml_dtypes
+
+    out = {}
+    with np.load(path) as z:
+        for k in z.files:
+            if k.endswith("::bf16"):
+                out[k[:-6]] = z[k].view(ml_dtypes.bfloat16)
+            else:
+                out[k] = z[k]
+    return out
+
+
+def restore_pytree(path: str, like) -> dict:
+    """Restore into the structure of `like` (shapes/paths must match)."""
+    import jax
+
+    flat = load_pytree_state_dict(path)
+
+    def visit(prefix, node):
+        if isinstance(node, dict):
+            return {k: visit(f"{prefix}/{k}" if prefix else str(k), v)
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            vals = [visit(f"{prefix}/{i}", v) for i, v in enumerate(node)]
+            return type(node)(vals) if isinstance(node, tuple) else vals
+        return flat[prefix]
+
+    return visit("", like)

@@ -96,3 +96,21 @@ def test_dataset_schema(tmp_path):
     assert s["mask"].shape == (1, t, h, w)
     assert s["mask"][:, 0].sum() == 0
     assert -1.0 <= s["pixel_values"].min() and s["pixel_values"].max() <= 1.0
+
+
+def test_pytree_save_restore(tmp_path):
+    import jax.numpy as jnp
+    from flexam_tpu.io.checkpoints import restore_pytree, save_pytree
+
+    tree = {"a": {"w": np.arange(6, np.float32).reshape(2, 3)
+                  if False else np.arange(6, dtype=np.float32).reshape(2, 3),
+                  "b16": jnp.ones((4,), jnp.bfloat16) * 1.5},
+            "list": [np.zeros(2), np.ones(3)]}
+    p = str(tmp_path / "ckpt.npz")
+    save_pytree(p, tree)
+    restored = restore_pytree(p, tree)
+    np.testing.assert_array_equal(restored["a"]["w"], tree["a"]["w"])
+    assert restored["a"]["b16"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(restored["a"]["b16"], np.float32),
+                                  np.full((4,), 1.5, np.float32))
+    np.testing.assert_array_equal(restored["list"][1], tree["list"][1])
