@@ -1,0 +1,78 @@
+"""Ring sequence-parallel attention over the ICI mesh.
+
+Behavioral reference: the ring half of the reference's xDiT USP hybrid
+(`ulysses_degree` x `ring_degree`, `ui/controller.py:63,89-95`;
+implementation absent from the release — SURVEY.md §2.5/§5.7).
+
+TPU-native: KV shards rotate around the sp ring with `lax.ppermute` while
+each chip keeps its Q shard and accumulates exact online-softmax partials
+(the flash-attention recurrence across chips). Collectives ride ICI;
+compute on each hop overlaps the next permute under XLA's scheduler.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_ring_attention(
+    mesh: Mesh,
+    seq_axis: str = "sp",
+    batch_axis: Optional[str] = "dp",
+) -> Callable:
+    """Returns attn_fn(q, k, v, k_len=None, scale=None) for `dit_forward`.
+    Self-attention rotates KV; cross-attention runs locally (kv
+    replicated)."""
+    sp = mesh.shape[seq_axis]
+
+    def attn(q, k, v, k_len=None, scale=None):
+        d = q.shape[-1]
+        s = scale if scale is not None else d ** -0.5
+        if sp == 1 or q.shape[1] != k.shape[1]:
+            from flexam_tpu.parallel.ulysses import make_ulysses_attention
+            return make_ulysses_attention(mesh, seq_axis, batch_axis)(
+                q, k, v, k_len=k_len, scale=scale)
+
+        def local(q_l, k_l, v_l):
+            # per-shard [B, Lq/sp, H, D]
+            b, lq, h, hd = q_l.shape
+            qf = q_l.astype(jnp.float32) * s
+            # derive carries from qf so they inherit shard_map's varying
+            # manual axes (fresh zeros are 'unvarying' and break the scan)
+            qbh = jnp.swapaxes(qf, 1, 2)            # [B, H, Lq, D]
+            m0 = qbh[..., :1] * 0.0 - 1e30
+            l0 = qbh[..., :1] * 0.0
+            acc0 = qbh * 0.0
+            idx = jax.lax.axis_index(seq_axis)
+            perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+            def step(carry, _):
+                k_blk, v_blk, m, l, acc = carry
+                logits = jnp.einsum(
+                    "bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32))
+                m_cur = jnp.max(logits, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m, m_cur)
+                p = jnp.exp(logits - m_new)
+                alpha = jnp.exp(m - m_new)
+                l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc * alpha + jnp.einsum(
+                    "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32))
+                k_nxt = jax.lax.ppermute(k_blk, seq_axis, perm)
+                v_nxt = jax.lax.ppermute(v_blk, seq_axis, perm)
+                return (k_nxt, v_nxt, m_new, l, acc), None
+
+            (k_f, v_f, m, l, acc), _ = jax.lax.scan(
+                step, (k_l, v_l, m0, l0, acc0), None, length=sp)
+            out = acc / l
+            return jnp.einsum("bhqd->bqhd", out).astype(q_l.dtype)
+
+        spec = P(batch_axis, seq_axis, None, None)
+        return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec)(q, k, v)
+
+    return attn

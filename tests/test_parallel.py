@@ -78,3 +78,31 @@ def test_ulysses_inside_dit_forward(mesh):
     with activation_sharding(mesh):
         out = np.asarray(dit_forward(params, cfg, x, t, ctx, attn_fn=attn))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_attention_parity(mesh):
+    from flexam_tpu.parallel.ring import make_ring_attention
+
+    rng = np.random.RandomState(3)
+    b, l, h, d = 2, 64, 4, 32
+    q = rng.randn(b, l, h, d).astype(np.float32)
+    k = rng.randn(b, l, h, d).astype(np.float32)
+    v = rng.randn(b, l, h, d).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    attn = make_ring_attention(mesh)
+    out = np.asarray(jax.jit(attn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_cross_attention_falls_back(mesh):
+    from flexam_tpu.parallel.ring import make_ring_attention
+
+    rng = np.random.RandomState(4)
+    q = rng.randn(2, 64, 4, 32).astype(np.float32)
+    k = rng.randn(2, 16, 4, 32).astype(np.float32)
+    v = rng.randn(2, 16, 4, 32).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    out = np.asarray(jax.jit(make_ring_attention(mesh))(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
