@@ -400,30 +400,71 @@ class FlexAMGenerationPipeline:
 
         do_cfg = guidance_scale > 1.0 and context.shape[0] == 2
 
-        model_params = {"dit": self.models.dit_params}
-        if self.models.dit2_params is not None:
-            model_params["dit2"] = self.models.dit2_params
-        latents = self._denoise_jit(
-            model_params,
-            latents, cond["control_latents"], cond["mask_latents"],
-            cond["masked_video_latents"], cond["additional_control"],
-            cond["ref_latents"], cond["mask_ti2v"], context,
-            schedule_arrays(tables), float(guidance_scale),
-            float(density) if density is not None else 0.0,
-            bool(cond["first_frame_known"]), high_steps, skip_from, do_cfg,
-            tables.order, tables.convert, tables.num_steps,
-            density is not None, bool(cond.get("per_token_t", True)),
-            float(teacache_thresh), int(teacache_skip_start))
-        return latents
+        # static step partition: timestep-MoE boundary x cfg-skip tail
+        n = tables.num_steps
+        segments = []
+        bounds = sorted({0, high_steps, min(skip_from, n), n})
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if a >= b:
+                continue
+            use_dit2 = b <= high_steps
+            segments.append((a, b, use_dit2, do_cfg and a < skip_from))
+
+        sched = schedule_arrays(tables)
+        state = sampler_init_state(jnp.asarray(latents, jnp.float32),
+                                   tables.order)
+        c_lat, lt, lh, lw = cond["latent_shape"]
+        seq_len = (lt * (lh // self.cfg.dit.patch_size[1])
+                   * (lw // self.cfg.dit.patch_size[2]))
+        l_ref = ((lh // self.cfg.dit.patch_size[1])
+                 * (lw // self.cfg.dit.patch_size[2]))
+        use_teacache = teacache_thresh > 0.0
+
+        # the denoise scan is split into host-launched chunks: a single
+        # >60 s device executable trips the runtime watchdog at full scale
+        # (50 steps x 2.6 s); chunk length is static so all full chunks
+        # share one compiled executable
+        spl = max(1, int(self.steps_per_launch))
+        for a, b, use_dit2, with_cfg in segments:
+            params = (self.models.dit2_params if use_dit2
+                      else self.models.dit_params)
+            tea = (init_teacache_state(2 if with_cfg else 1,
+                                       seq_len + l_ref, self.cfg.dit.dim,
+                                       self.compute_dtype)
+                   if use_teacache else jnp.zeros(()))
+            c0 = a
+            while c0 < b:
+                length = min(spl, b - c0)
+                state, tea = self._denoise_chunk_jit(
+                    params, state, tea, jnp.int32(c0),
+                    cond["control_latents"], cond["mask_latents"],
+                    cond["masked_video_latents"],
+                    cond["additional_control"], cond["ref_latents"],
+                    cond["mask_ti2v"],
+                    context if with_cfg else context[-1:],
+                    sched, float(guidance_scale),
+                    float(density) if density is not None else 0.0,
+                    length, bool(cond["first_frame_known"]), with_cfg,
+                    tables.convert, density is not None,
+                    bool(cond.get("per_token_t", True)),
+                    float(teacache_thresh), int(teacache_skip_start))
+                c0 += length
+        return state[0]
+
+    # device-execution chunk length per launch (~2.6 s/step at the
+    # flagship scale; the tunnel watchdog kills executables > ~60 s)
+    steps_per_launch = 10
 
     @partial(jax.jit,
-             static_argnums=(0, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23))
-    def _denoise_jit(self, model_params, latents, control_latents,
-                     mask_latents, masked_video_latents, additional_control,
-                     ref_latents, mask_ti2v, context, sched, guidance_scale,
-                     density, first_frame_known, high_steps, skip_from,
-                     do_cfg, solver_order, solver_convert, n, has_density,
-                     per_token_t, teacache_thresh, teacache_skip_start):
+             static_argnums=(0, 15, 16, 17, 18, 19, 20, 21, 22))
+    def _denoise_chunk_jit(self, params, state, tea, start,
+                           control_latents, mask_latents,
+                           masked_video_latents, additional_control,
+                           ref_latents, mask_ti2v, context, sched,
+                           guidance_scale, density, length,
+                           first_frame_known, with_cfg, solver_convert,
+                           has_density, per_token_t, teacache_thresh,
+                           teacache_skip_start):
         cfg = self.cfg.dit
         dt = self.compute_dtype
         timesteps = sched["timesteps"]
@@ -435,7 +476,7 @@ class FlexAMGenerationPipeline:
 
         # per-token timestep pattern (`:891-898`): latent mask subsampled by
         # the 2x2 patch; tokens of known content get timestep 0
-        c_lat, lt, lh, lw = latents.shape[1:]
+        c_lat, lt, lh, lw = control_latents.shape[1:]
         seq_len = lt * (lh // cfg.patch_size[1]) * (lw // cfg.patch_size[2])
         tok_pattern = mask_ti2v[0, 0, :, ::cfg.patch_size[1],
                                 ::cfg.patch_size[2]].reshape(-1)
@@ -444,8 +485,11 @@ class FlexAMGenerationPipeline:
              jnp.ones((seq_len - tok_pattern.shape[0],), jnp.float32)])
 
         if first_frame_known:
-            latents = ((1 - mask_ti2v) * masked_video_latents.astype(jnp.float32)
-                       + mask_ti2v * latents)
+            # idempotent known-region pin (`:684-686`), re-applied at chunk
+            # entry so the very first step sees seeded latents
+            x0 = ((1 - mask_ti2v) * masked_video_latents.astype(jnp.float32)
+                  + mask_ti2v * state[0])
+            state = (x0,) + state[1:]
 
         use_teacache = teacache_thresh > 0.0
 
@@ -473,54 +517,29 @@ class FlexAMGenerationPipeline:
                     num_skip_start_steps=teacache_skip_start, **kw)
             return dit_forward(params, cfg, xb, t_in, ctx, **kw), tea
 
-        def make_body(params, with_cfg):
-            def body(carry, i):
-                state, tea = carry
-                x = state[0]
-                t_scalar = timesteps[i]
-                if with_cfg:
-                    pred, tea = velocity(params, x, t_scalar, context, 2,
-                                         tea, i)
-                    uncond, cond_p = pred[0:1], pred[1:2]
-                    v = uncond + guidance_scale * (cond_p - uncond)
-                else:
-                    pred, tea = velocity(params, x, t_scalar, context[-1:],
-                                         1, tea, i)
-                    v = pred
-                state, x_next = sampler_step(
-                    sched, solver_convert, state, v.astype(jnp.float32), i)
-                if first_frame_known:
-                    x_next = ((1 - mask_ti2v)
-                              * masked_video_latents.astype(jnp.float32)
-                              + mask_ti2v * x_next)
-                    state = (x_next,) + state[1:]
-                return (state, tea), None
-            return body
+        def body(carry, i):
+            st, te = carry
+            x = st[0]
+            t_scalar = timesteps[i]
+            if with_cfg:
+                pred, te = velocity(params, x, t_scalar, context, 2, te, i)
+                uncond, cond_p = pred[0:1], pred[1:2]
+                v = uncond + guidance_scale * (cond_p - uncond)
+            else:
+                pred, te = velocity(params, x, t_scalar, context, 1, te, i)
+                v = pred
+            st, x_next = sampler_step(
+                sched, solver_convert, st, v.astype(jnp.float32), i)
+            if first_frame_known:
+                x_next = ((1 - mask_ti2v)
+                          * masked_video_latents.astype(jnp.float32)
+                          + mask_ti2v * x_next)
+                st = (x_next,) + st[1:]
+            return (st, te), None
 
-        state = sampler_init_state(latents, solver_order)
-        l_ref = (lh // cfg.patch_size[1]) * (lw // cfg.patch_size[2])
-        # segments: [0, high_steps) on dit2 (high noise), then dit; within
-        # each, CFG until skip_from then cond-only
-        segments = []
-        bounds = sorted({0, high_steps, min(skip_from, n), n})
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            if a >= b:
-                continue
-            params = (model_params["dit2"]
-                      if b <= high_steps else model_params["dit"])
-            with_cfg = do_cfg and a < skip_from
-            segments.append((a, b, params, with_cfg))
-        for a, b, params, with_cfg in segments:
-            # teacache state is per-segment: batch size changes across the
-            # cfg-skip boundary (the reference slices the residual,
-            # `wan_transformer3d_FlexAM.py:1003`; a reset is equivalent up
-            # to one extra computed step)
-            tea = (init_teacache_state(2 if with_cfg else 1,
-                                       seq_len + l_ref, cfg.dim, dt)
-                   if use_teacache else jnp.zeros(()))
-            (state, tea), _ = jax.lax.scan(make_body(params, with_cfg),
-                                           (state, tea), jnp.arange(a, b))
-        return state[0]
+        (state, tea), _ = jax.lax.scan(
+            body, (state, tea), jnp.arange(length, dtype=jnp.int32) + start)
+        return state, tea
 
     # -- full generate --------------------------------------------------------
 
