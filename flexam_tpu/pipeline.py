@@ -238,9 +238,13 @@ class FlexAMGenerationPipeline:
     def _decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         n, _, lt, lh, lw = latents.shape
         if self._use_streaming(n, lt * 4, lh * 16, lw * 16):
+            # small groups: the decoder's full-res 512-ch activations must
+            # coexist with the resident DiT weights (~10 GB of 16 GB)
+            big = n * lt * lh * lw * 4 * 256 > self.VAE_STREAM_THRESHOLD
             return vae_decode_streamed(
                 self.models.vae_params, self.cfg.vae,
-                latents.astype(self.compute_dtype))
+                latents.astype(self.compute_dtype),
+                group_size=2 if big else 4)
         return self._vae_decode_jit(self.models.vae_params, latents)
 
     @partial(jax.jit, static_argnums=(0,))
@@ -276,23 +280,25 @@ class FlexAMGenerationPipeline:
 
         if mask_video is not None:
             mask01_np = (np.asarray(mask_video, np.float32) > 0.5
-                         ).astype(np.float32)
+                         ).astype(np.uint8)
             # the reference masks AFTER [-1,1] normalization, so masked
             # pixels are 0 = mid-gray (`:662`)
-            masked_np = (video * 2.0 - 1.0) * (mask01_np < 0.5)
+            masked_np = ((video * 2.0 - 1.0)
+                         * (mask01_np < 0.5)).astype(np.float16)
         else:
-            mask01_np = np.ones((1, 1, t, h, w), np.float32)
-            masked_np = np.zeros_like(video)
-        mask01 = jnp.asarray(mask01_np)
+            mask01_np = np.ones((1, 1, t, h, w), np.uint8)
+            masked_np = np.zeros(video.shape, np.float16)
+        # host->device over the tunnel dominates prepare at full res:
+        # clips travel as fp16, the mask as uint8
+        mask01 = jnp.asarray(mask01_np).astype(jnp.float32)
 
         def norm(v):
-            return np.asarray(v, np.float32) * 2.0 - 1.0
+            return (np.asarray(v, np.float32) * 2.0 - 1.0).astype(np.float16)
 
+        zeros = np.zeros(video.shape, np.float16)
         clips = [masked_np,
-                 norm(control_video) if control_video is not None
-                 else np.zeros_like(video),
-                 norm(depth_video) if depth_video is not None
-                 else np.zeros_like(video)]
+                 norm(control_video) if control_video is not None else zeros,
+                 norm(depth_video) if depth_video is not None else zeros]
         n_cos = len(cos_videos) if cos_videos else 0
         if cos_videos:
             clips.extend(norm(v) for v in cos_videos)
