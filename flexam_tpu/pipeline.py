@@ -549,14 +549,37 @@ class FlexAMGenerationPipeline:
 
     # -- full generate --------------------------------------------------------
 
+    def offload_dit_to_host(self):
+        """Move DiT weights to host memory (the reference's
+        cpu-offload/sequential modes, `wan2_2_fun_flexam/nodes.py:322-346`).
+        `restore_dit()` puts them back; `release_dit()` drops them (the
+        one-shot demo pattern — the reference deletes each model after its
+        phase, `pipelines.py:187-193,1496-1499`)."""
+        self._dit_host = jax.device_get(self.models.dit_params)
+        self.models.dit_params = None
+
+    def restore_dit(self):
+        if self.models.dit_params is None and getattr(self, "_dit_host", None) is not None:
+            self.models.dit_params = jax.device_put(self._dit_host)
+
+    def release_dit(self):
+        self.models.dit_params = None
+        self._dit_host = None
+
     def generate(self, video, prompt, mask_video=None, control_video=None,
                  depth_video=None, cos_videos=None, ref_image=None,
                  negative_prompt=None, num_inference_steps=50,
                  guidance_scale=6.0, seed=1245644, density=None,
                  scheduler_type=None, cfg_skip_ratio=0.0,
                  teacache_thresh=0.0, teacache_skip_start=5,
+                 offload_dit_for_decode: Optional[bool] = None,
                  output_type="np") -> np.ndarray:
-        """demo-equivalent end-to-end call. video in [0,1], [1,3,T,H,W]."""
+        """demo-equivalent end-to-end call. video in [0,1], [1,3,T,H,W].
+
+        `offload_dit_for_decode` (default: auto — on for workloads that
+        stream the VAE): on a 16 GB chip the full-res decode cannot run
+        next to the resident 5B weights; the DiT round-trips to host RAM
+        around the decode."""
         context = self.encode_prompt(prompt, negative_prompt,
                                      do_cfg=guidance_scale > 1.0)
         cond = self.prepare_conditioning(video, mask_video, control_video,
@@ -571,5 +594,13 @@ class FlexAMGenerationPipeline:
                                teacache_skip_start=teacache_skip_start)
         if output_type == "latent":
             return np.asarray(latents)
+        if offload_dit_for_decode is None:
+            t_, h_, w_ = video.shape[2:]
+            offload_dit_for_decode = self._use_streaming(1, t_, h_, w_)
+        if offload_dit_for_decode:
+            self.offload_dit_to_host()
         out = self._decode(latents)
-        return np.asarray((out.astype(jnp.float32) + 1.0) / 2.0)
+        out = np.asarray((out.astype(jnp.float32) + 1.0) / 2.0)
+        if offload_dit_for_decode:
+            self.restore_dit()
+        return out
