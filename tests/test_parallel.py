@@ -106,3 +106,21 @@ def test_ring_cross_attention_falls_back(mesh):
                                    jnp.asarray(v)))
     out = np.asarray(jax.jit(make_ring_attention(mesh))(q, k, v))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_vae_decode_parity(mesh):
+    """`parallel_magvit_vae` equivalent: width-sharded whole-clip decode
+    matches the unsharded result (GSPMD conv halo exchange)."""
+    from flexam_tpu.config import VAEConfig
+    from flexam_tpu.models.vae import init_vae_params, vae_decode
+    from flexam_tpu.parallel.vae_parallel import vae_decode_sharded
+
+    cfg = VAEConfig(latent_channels=8, c_dim=16, dec_dim=16,
+                    dim_mult=(1, 2, 4, 4), num_res_blocks=1,
+                    temporal_downsample=(False, True, True))
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 3, 2, 4),
+                          jnp.float32) * 0.5
+    ref = np.asarray(vae_decode(params, cfg, z))
+    out = np.asarray(vae_decode_sharded(params, cfg, z, mesh))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
