@@ -145,6 +145,31 @@ class FlexAMConfig:
 # The flagship preset: Wan2.2-Fun-5B-FLEXAM.
 WAN22_5B_FLEXAM = FlexAMConfig()
 
+# Base Wan2.2-TI2V-5B (no FlexAM additions — the `wan_transformer3d.py`
+# model kept for ComfyUI "Fun" workflows; diff per SURVEY.md §2.1 is
+# exactly: density embeds, modulation_density, cnn blocks, ref conv).
+WAN22_5B_BASE = FlexAMConfig(
+    dit=DiTConfig(in_dim=100, add_ref_conv=False, add_cnn_block=False))
+
+# Wan2.1-Fun 1.3B geometry (`cache_utils.py` coefficient family;
+# dim 1536, 30 layers, 12 heads; Wan2.1 VAE: 8x spatial, 16 ch).
+WAN21_FUN_1_3B = FlexAMConfig(
+    dit=DiTConfig(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30,
+                  in_dim=48, out_dim=16, add_ref_conv=False,
+                  add_cnn_block=False),
+    vae=VAEConfig(latent_channels=16, c_dim=96, dec_dim=96,
+                  spatial_compression_ratio=8),
+)
+
+# Wan2.1-Fun 14B geometry (dim 5120, 40 layers, 40 heads).
+WAN21_FUN_14B = FlexAMConfig(
+    dit=DiTConfig(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                  in_dim=48, out_dim=16, add_ref_conv=False,
+                  add_cnn_block=False),
+    vae=VAEConfig(latent_channels=16, c_dim=96, dec_dim=96,
+                  spatial_compression_ratio=8),
+)
+
 
 def tiny_test_config() -> FlexAMConfig:
     """A tiny config for CPU tests (BASELINE.json config 1 scale)."""
