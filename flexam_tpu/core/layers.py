@@ -50,11 +50,16 @@ def layer_norm(
 
 
 def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
-    """GELU with tanh approximation (matches torch approximate='tanh')."""
-    xf = x.astype(jnp.float32)
-    c = math.sqrt(2.0 / math.pi)
-    out = 0.5 * xf * (1.0 + jnp.tanh(c * (xf + 0.044715 * xf * xf * xf)))
-    return out.astype(x.dtype)
+    """GELU with tanh approximation (matches torch approximate='tanh').
+
+    Computed in the input dtype like torch's bf16 path — upcasting the
+    [B, 11648, 14336] FFN activation to fp32 costs ~2.7 GB of HBM traffic
+    per block at the flagship scale."""
+    c = x.dtype.type(math.sqrt(2.0 / math.pi))
+    half = x.dtype.type(0.5)
+    one = x.dtype.type(1.0)
+    k = x.dtype.type(0.044715)
+    return half * x * (one + jnp.tanh(c * (x + k * x * x * x)))
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:
