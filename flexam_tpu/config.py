@@ -126,6 +126,51 @@ class FlexAMConfig:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
     @classmethod
+    def from_reference_yaml(cls, path: str) -> "FlexAMConfig":
+        """Load a reference-format model YAML (the OmegaConf files under
+        `config/wan2.2/`, e.g. `wan_civitai_5b_FlexAM.yaml`) so existing
+        configs work unchanged. Applies the `dict_mapping` renames
+        (`in_dim <- in_channels`, `dim <- hidden_size`) the reference does
+        at load time (`wan_transformer3d_FlexAM.py:1210-1225`)."""
+        import yaml
+
+        with open(path) as f:
+            y = yaml.safe_load(f)
+        tkw = dict(y.get("transformer_additional_kwargs", {}))
+        mapping = tkw.pop("dict_mapping", {}) or {}
+        renames = {v: k for k, v in mapping.items()}   # ckpt-name -> ours
+        dit_fields = {f.name for f in dataclasses.fields(DiTConfig)}
+        dit_kwargs = {}
+        for k, v in tkw.items():
+            k = renames.get(k, k)
+            if k in dit_fields:
+                dit_kwargs[k] = tuple(v) if isinstance(v, list) else v
+        vkw = y.get("vae_kwargs", {})
+        vae_kwargs = {}
+        for k in ("latent_channels", "c_dim", "dim_mult",
+                  "temporal_compression_ratio", "spatial_compression_ratio"):
+            if k in vkw:
+                v = vkw[k]
+                vae_kwargs[k] = tuple(v) if isinstance(v, list) else v
+        tekw = y.get("text_encoder_kwargs", {})
+        t5_fields = {f.name for f in dataclasses.fields(T5Config)}
+        t5_kwargs = {k: v for k, v in tekw.items() if k in t5_fields}
+        if "text_length" in tekw:
+            t5_kwargs["text_length"] = tekw["text_length"]
+        skw = y.get("scheduler_kwargs", {})
+        sch_fields = {f.name for f in dataclasses.fields(SchedulerConfig)}
+        sch_kwargs = {k: v for k, v in skw.items() if k in sch_fields}
+        return cls(
+            dit=DiTConfig(**dit_kwargs),
+            vae=VAEConfig(**vae_kwargs),
+            t5=T5Config(**t5_kwargs),
+            scheduler=SchedulerConfig(**sch_kwargs),
+            transformer_combination_type=tkw.get(
+                "transformer_combination_type", "single"),
+            boundary=tkw.get("boundary", 0.875),
+        )
+
+    @classmethod
     def from_json(cls, s: str) -> "FlexAMConfig":
         d = json.loads(s)
         return cls(

@@ -114,3 +114,14 @@ def test_pytree_save_restore(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["a"]["b16"], np.float32),
                                   np.full((4,), 1.5, np.float32))
     np.testing.assert_array_equal(restored["list"][1], tree["list"][1])
+
+
+def test_reference_yaml_config_loader():
+    from flexam_tpu.config import FlexAMConfig
+    c = FlexAMConfig.from_reference_yaml(
+        "/root/reference/config/wan2.2/wan_civitai_5b_FlexAM.yaml")
+    assert c.dit.add_ref_conv and c.dit.add_cnn_block
+    assert c.dit.in_dim_cnn_block == 288 and c.dit.out_dim_cnn_block == 48
+    assert c.vae.spatial_compression_ratio == 16
+    assert c.t5.dim == 4096 and c.t5.num_layers == 24
+    assert c.scheduler.shift == 5.0
