@@ -588,11 +588,38 @@ def init_teacache_state(batch: int, seq_len: int, dim: int,
     }
 
 
-# Fitted polynomial for Wan2.2 5B/Fun models
-# (`cache_utils.py:get_teacache_coefficients`, wan2.2 branch)
-WAN22_TEACACHE_COEFFICIENTS = (
-    8.10705460e+03, 2.13393892e+03, -3.72934672e+02, 1.66203073e+01,
-    -4.17769401e-02)
+# Fitted rescale polynomials per model family
+# (`cache_utils.py:get_teacache_coefficients`)
+TEACACHE_COEFFICIENTS = {
+    "wan2.1-1.3b": (-5.21862437e+04, 9.23041404e+03, -5.28275948e+02,
+                    1.36987616e+01, -4.99875664e-02),
+    "wan2.1-t2v-14b": (-3.03318725e+05, 4.90537029e+04, -2.65530556e+03,
+                       5.87365115e+01, -3.15583525e-01),
+    "wan2.1-i2v-14b-480p": (2.57151496e+05, -3.54229917e+04, 1.40286849e+03,
+                            -1.35890334e+01, 1.32517977e-01),
+    "wan2.2": (8.10705460e+03, 2.13393892e+03, -3.72934672e+02,
+               1.66203073e+01, -4.17769401e-02),
+}
+
+
+def get_teacache_coefficients(model_name: str):
+    """Model-name keyed lookup (`cache_utils.py:4-18`)."""
+    n = model_name.lower()
+    if any(k in n for k in ("wan2.1-t2v-1.3b", "wan2.1-fun-1.3b",
+                            "wan2.1-fun-v1.1-1.3b", "wan2.1-vace-1.3b")):
+        return TEACACHE_COEFFICIENTS["wan2.1-1.3b"]
+    if "wan2.1-t2v-14b" in n:
+        return TEACACHE_COEFFICIENTS["wan2.1-t2v-14b"]
+    if "wan2.1-i2v-14b-480p" in n:
+        return TEACACHE_COEFFICIENTS["wan2.1-i2v-14b-480p"]
+    if any(k in n for k in ("wan2.1-i2v-14b-720p", "wan2.1-fun-14b", "wan2.2",
+                            "wan2.1-vace-14b")):
+        return TEACACHE_COEFFICIENTS["wan2.2"]
+    print(f"The model {model_name} is not supported by TeaCache.")
+    return None
+
+
+WAN22_TEACACHE_COEFFICIENTS = TEACACHE_COEFFICIENTS["wan2.2"]
 
 
 def dit_forward_teacache(

@@ -237,6 +237,14 @@ class FlexAMGenerationPipeline:
 
     def _decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         n, _, lt, lh, lw = latents.shape
+        mesh = getattr(self, "vae_mesh", None)
+        if mesh is not None:
+            # parallel_magvit_vae equivalent: width-sharded whole-clip
+            # decode over the mesh (flexam_tpu/parallel/vae_parallel.py)
+            from flexam_tpu.parallel.vae_parallel import vae_decode_sharded
+            return vae_decode_sharded(
+                self.models.vae_params, self.cfg.vae,
+                latents.astype(self.compute_dtype), mesh)
         if self._use_streaming(n, lt * 4, lh * 16, lw * 16):
             # small groups: the decoder's full-res 512-ch activations must
             # coexist with the resident DiT weights (~10 GB of 16 GB)
