@@ -1,0 +1,41 @@
+"""Long-video sliding-window generation: window seeding, overlap blend,
+tail snapping."""
+
+import numpy as np
+
+from flexam_tpu.long_video import generate_long_video, window_inputs_from_seed
+
+
+def test_window_inputs_from_seed():
+    seed = np.full((1, 3, 3, 8, 8), 0.7, np.float32)
+    video, mask = window_inputs_from_seed(seed, 9, 8, 8)
+    assert video.shape == (1, 3, 9, 8, 8)
+    np.testing.assert_array_equal(video[:, :, :3], seed)
+    np.testing.assert_array_equal(video[:, :, 3:], seed[:, :, -1:].repeat(6, 2))
+    assert mask[:, :, :3].sum() == 0 and (mask[:, :, 3:] == 1).all()
+
+
+def test_generate_long_video_composition():
+    calls = []
+
+    def fake_window(start_frames=None, num_frames=None, **kw):
+        calls.append((None if start_frames is None
+                      else start_frames.shape[2], num_frames))
+        # frame value = global index, so the blend is checkable
+        base = 0.0 if start_frames is None else float(start_frames[0, 0, -1, 0, 0])
+        vals = base + np.arange(num_frames, dtype=np.float32)
+        if start_frames is not None:
+            k = start_frames.shape[2]
+            vals[:k] = start_frames[0, 0, :, 0, 0]
+        return np.tile(vals[None, None, :, None, None], (1, 3, 1, 4, 4))
+
+    out = generate_long_video(fake_window, total_frames=21,
+                              partial_video_length=9,
+                              overlap_video_length=3)
+    assert out.shape[2] == 21
+    # first window fresh, later windows seeded with 3 overlap frames
+    assert calls[0] == (None, 9)
+    assert all(c == (3, 9) for c in calls[1:-1])
+    # monotone non-decreasing frame values across the whole sequence
+    seq = out[0, 0, :, 0, 0]
+    assert (np.diff(seq) >= -1e-5).all(), seq
