@@ -114,6 +114,9 @@ def _int8_flash_bhld(q, k, v, k_len, scale, blq, blk, interpret=False):
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Lq * S * D,
             bytes_accessed=2 * B * H * (Lq + 2 * S) * D,
