@@ -387,6 +387,8 @@ class FlexAMGenerationPipeline:
         latents: Optional[jnp.ndarray] = None,
         teacache_thresh: float = 0.0,          # 0 = off; reference: 0.10
         teacache_skip_start: int = 5,
+        resume: Optional[dict] = None,         # from a previous checkpoint_cb
+        checkpoint_cb=None,                    # cb(step:int, snapshot:dict)
     ) -> jnp.ndarray:
         """The 50-step CFG loop as scan(s) inside jit."""
         scfg = self.cfg.scheduler
@@ -439,6 +441,13 @@ class FlexAMGenerationPipeline:
         # (50 steps x 2.6 s); chunk length is static so all full chunks
         # share one compiled executable
         spl = max(1, int(self.steps_per_launch))
+        # denoise-run checkpoint/resume (a capability the reference lacks,
+        # SURVEY.md §5.3 "No checkpoint-resume of a denoise run"): the
+        # chunked launches make the full solver state snapshottable
+        resume_step = -1
+        if resume is not None:
+            state = tuple(jnp.asarray(s) for s in resume["sampler_state"])
+            resume_step = int(resume["step"])
         for a, b, use_dit2, with_cfg in segments:
             params = (self.models.dit2_params if use_dit2
                       else self.models.dit_params)
@@ -449,6 +458,9 @@ class FlexAMGenerationPipeline:
             c0 = a
             while c0 < b:
                 length = min(spl, b - c0)
+                if c0 + length <= resume_step + 1:
+                    c0 += length
+                    continue
                 state, tea = self._denoise_chunk_jit(
                     params, state, tea, jnp.int32(c0),
                     cond["control_latents"], cond["mask_latents"],
@@ -463,6 +475,11 @@ class FlexAMGenerationPipeline:
                     bool(cond.get("per_token_t", True)),
                     float(teacache_thresh), int(teacache_skip_start))
                 c0 += length
+                if checkpoint_cb is not None:
+                    checkpoint_cb(c0 - 1, {
+                        "step": c0 - 1,
+                        "sampler_state": [np.asarray(s) for s in state],
+                    })
         return state[0]
 
     # device-execution chunk length per launch (~2.6 s/step at the

@@ -122,3 +122,28 @@ def test_teacache_denoise(pipe):
                             teacache_thresh=1e9, teacache_skip_start=2)
     assert np.isfinite(np.asarray(latents2)).all()
     assert not np.allclose(np.asarray(latents), np.asarray(latents2))
+
+
+def test_denoise_checkpoint_resume(pipe):
+    """Interrupt after 2 of 4 steps and resume: bit-identical to the
+    uninterrupted run (solver state snapshot at chunk boundaries)."""
+    video, mask, control, depth, cos, ref = _inputs()
+    cond = pipe.prepare_conditioning(video, mask, control, depth, cos, ref)
+    ids = np.arange(16, dtype=np.int32)[None] % 50
+    ctx = pipe.encode_prompt_ids(ids, np.ones((1, 16), np.int32))
+    context = jnp.concatenate([ctx, ctx], axis=0)
+    kw = dict(num_inference_steps=4, guidance_scale=6.0, seed=11,
+              density=0.1)
+    old_spl = pipe.steps_per_launch
+    pipe.steps_per_launch = 2
+    try:
+        full = np.asarray(pipe.denoise(cond, context, **kw))
+        snaps = {}
+        pipe.denoise(cond, context, **kw,
+                     checkpoint_cb=lambda s, snap: snaps.update({s: snap}))
+        assert 1 in snaps and 3 in snaps
+        resumed = np.asarray(pipe.denoise(cond, context, **kw,
+                                          resume=snaps[1]))
+    finally:
+        pipe.steps_per_launch = old_spl
+    np.testing.assert_array_equal(resumed, full)
