@@ -186,6 +186,30 @@ def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 6,
     save_video(grid[None], path, fps=fps)
 
 
+def save_videos_comparison(videos, path: str, fps: int = 16,
+                           labels=None):
+    """Side-by-side comparison grid (`save_videos_comparison`,
+    `utils.py:90-241`): stack [1,3,T,H,W]-shaped videos horizontally
+    (tracking | original | generated | ...)."""
+    vs = [np.asarray(v) for v in videos]
+    t = min(v.shape[2] for v in vs)
+    h = max(v.shape[3] for v in vs)
+
+    def fit(v):
+        if v.shape[3] != h:
+            import cv2
+            scale = h / v.shape[3]
+            w = int(v.shape[4] * scale)
+            frames = np.stack([
+                cv2.resize(v[0, :, i].transpose(1, 2, 0), (w, h))
+                for i in range(t)])
+            return frames.transpose(3, 0, 1, 2)[None]
+        return v[:, :, :t]
+
+    grid = np.concatenate([fit(v) for v in vs], axis=4)
+    return save_video(grid, path, fps=fps)
+
+
 def merge_video_audio(video_path: str, audio_path: str):
     """ffmpeg mux (`utils.py:243-301`); best-effort host-side."""
     out = video_path.replace(".mp4", "_with_audio.mp4")

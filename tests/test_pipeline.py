@@ -147,3 +147,27 @@ def test_denoise_checkpoint_resume(pipe):
     finally:
         pipe.steps_per_launch = old_spl
     np.testing.assert_array_equal(resumed, full)
+
+
+def test_timestep_moe_boundary(pipe):
+    """Dual-expert path: high-noise steps run transformer_2
+    (`pipeline...FlexAM.py:903-909`, boundary=0.875)."""
+    from flexam_tpu.models.dit import init_dit_params
+    video, mask, control, depth, cos, ref = _inputs()
+    cond = pipe.prepare_conditioning(video, mask, control, depth, cos, ref)
+    ids = np.arange(16, dtype=np.int32)[None] % 50
+    ctx = pipe.encode_prompt_ids(ids, np.ones((1, 16), np.int32))
+    context = jnp.concatenate([ctx, ctx], axis=0)
+    kw = dict(num_inference_steps=4, guidance_scale=6.0, seed=5, density=0.1)
+
+    single = np.asarray(pipe.denoise(cond, context, **kw))
+    # identical expert -> identical result through the moe path
+    pipe.models.dit2_params = pipe.models.dit_params
+    same = np.asarray(pipe.denoise(cond, context, **kw))
+    np.testing.assert_array_equal(single, same)
+    # different high-noise expert -> different result
+    pipe.models.dit2_params = init_dit_params(
+        jax.random.PRNGKey(99), pipe.cfg.dit, dtype=jnp.float32)
+    diff = np.asarray(pipe.denoise(cond, context, **kw))
+    assert not np.allclose(single, diff)
+    pipe.models.dit2_params = None
