@@ -24,7 +24,6 @@ before tracing, so the compiled graphs are static.
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -33,9 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexam_tpu.config import FlexAMConfig
-from flexam_tpu.models.dit import (WAN22_TEACACHE_COEFFICIENTS, dit_forward,
-                                   dit_forward_teacache, init_teacache_state,
-                                   make_rope_tables_for)
+from flexam_tpu.models.dit import (dit_forward, dit_forward_teacache,
+                                   init_teacache_state, make_rope_tables_for)
 from flexam_tpu.models.t5 import t5_encode
 from flexam_tpu.models.vae import vae_decode, vae_encode_mode
 from flexam_tpu.models.vae_stream import (vae_decode_streamed,
@@ -221,6 +219,11 @@ class FlexAMGenerationPipeline:
         """Batched encode of N same-shape clips [N, 3, T, H, W] in [-1,1]."""
         n, _, t, h, w = clips.shape
         clips = clips.astype(self.compute_dtype)
+        mesh = getattr(self, "vae_mesh", None)
+        if mesh is not None:
+            from flexam_tpu.parallel.vae_parallel import vae_encode_sharded
+            return vae_encode_sharded(self.models.vae_params, self.cfg.vae,
+                                      clips, mesh)
         if self._use_streaming(n, t, h, w):
             # stream per clip: the grouped compiles are reused across clips
             # and per-clip activations stay bounded
