@@ -44,7 +44,7 @@ def generate_long_video(
 
         sample = generate_window(
             start_frames=seed_frames, num_frames=window, **window_kwargs)
-        sample = np.asarray(sample)
+        sample = np.array(sample, copy=True)
 
         if out is None:
             out = sample

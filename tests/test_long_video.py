@@ -39,3 +39,37 @@ def test_generate_long_video_composition():
     # monotone non-decreasing frame values across the whole sequence
     seq = out[0, 0, :, 0, 0]
     assert (np.diff(seq) >= -1e-5).all(), seq
+
+
+def test_long_video_with_real_pipeline():
+    """Two overlapped windows through the actual tiny pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import init_dit_params
+    from flexam_tpu.models.t5 import init_t5_params
+    from flexam_tpu.models.vae import init_vae_params
+    from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
+
+    cfg = tiny_test_config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    pipe = FlexAMGenerationPipeline(FlexAMModels(
+        cfg=cfg, dit_params=init_dit_params(k1, cfg.dit, dtype=jnp.float32),
+        vae_params=init_vae_params(k2, cfg.vae),
+        t5_params=init_t5_params(k3, cfg.t5)),
+        compute_dtype=jnp.float32)
+
+    h = w = 32
+
+    def window(start_frames=None, num_frames=None):
+        video, mask = window_inputs_from_seed(start_frames, num_frames, h, w)
+        return pipe.generate(video, "long video", mask_video=mask,
+                             num_inference_steps=2, guidance_scale=6.0,
+                             seed=3, density=0.1)
+
+    out = generate_long_video(window, total_frames=13,
+                              partial_video_length=9,
+                              overlap_video_length=1)
+    assert out.shape == (1, 3, 13, h, w)
+    assert np.isfinite(out).all()
