@@ -164,8 +164,6 @@ def _decoder_cache_shapes(cfg: VAEConfig, b, lh, lw, dtype):
             caches["res"][f"up{i}_{j}"] = [
                 z((b, 2, h, w, c_in), dtype),
                 z((b, 2, h, w, dims[i + 1]), dtype)]
-            # after the first res block channels are out_dim
-            caches["res"][f"up{i}_{j}"][0] = z((b, 2, h, w, c_in), dtype)
         if i != len(dim_mult) - 1:
             t_up = temporal_up[i] if i < len(temporal_up) else False
             if t_up:

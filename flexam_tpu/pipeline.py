@@ -7,14 +7,17 @@ TPU-first structure — three jitted stages instead of a python step loop:
   1. `prepare`: ALL VAE encodes in one batched call (the reference loops
      7 separate bs=1 encodes: masked video, control, depth, 4 cos levels,
      :647-827) + mask-latent construction;
-  2. `denoise`: the full N-step CFG loop as one `lax.scan` — CFG pair on
-     the batch axis, sampler as linear coefficient tables
-     (flexam_tpu.sampling), per-token timesteps for the TI2V known-region
-     masking (:891-898), known-latent reinjection (:937-938), optional
-     timestep-MoE boundary split (:903-909) realized as two consecutive
-     scans over statically-partitioned step ranges, and CFG-skip
-     (`cfg_optimization.py`) as a cond-only tail scan;
-  3. `decode`: whole-clip VAE decode.
+  2. `denoise`: the N-step CFG loop as `lax.scan` chunks launched from the
+     host (static chunk length -> one compiled executable; chunking keeps
+     each device launch under the runtime's execution watchdog and gives
+     free checkpoint/resume) — CFG pair on the batch axis, sampler as
+     linear coefficient tables (flexam_tpu.sampling), TI2V per-token
+     timesteps via the binary (t, 0) fast path (:891-898), known-latent
+     reinjection (:937-938), timestep-MoE boundary split (:903-909) and
+     CFG-skip (`cfg_optimization.py`) as statically-partitioned step
+     ranges;
+  3. `decode`: whole-clip VAE decode (group-streamed / mesh-sharded when
+     large).
 
 Everything data-dependent in the reference (`mask_video == 255` check,
 first-frame-known check :683-686) is resolved host-side from the inputs
