@@ -59,9 +59,17 @@ def xla_attention(
 
 @functools.lru_cache(maxsize=1)
 def _default_backend() -> str:
-    env = os.environ.get("FLEXAM_ATTENTION", "").lower()
+    env = (os.environ.get("FLEXAM_ATTENTION")
+           or os.environ.get("VIDEOX_ATTENTION_TYPE", "")).lower()
     if env in ("pallas", "xla", "pallas_int8"):
         return env
+    # reference names accepted for drop-in parity (`attention_utils.py:191`)
+    if env in ("flash_attn_3", "flash_attn_2", "flash"):
+        return "pallas"
+    if env in ("sage", "sageattn"):
+        return "pallas_int8"
+    if env == "torch_sdpa":
+        return "xla"
     try:
         platform = jax.devices()[0].platform
     except Exception:
