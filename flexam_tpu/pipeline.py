@@ -236,6 +236,16 @@ class FlexAMGenerationPipeline:
             return jnp.concatenate(outs, axis=0)
         return self._vae_encode_jit(self.models.vae_params, clips)
 
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _mask_latents_jit(self, mask01, latent_shape):
+        """Mask -> 4ch latent mask + TI2V mask in one fused launch
+        (`pipeline...FlexAM.py:675-686`)."""
+        grouped = group_mask_to_latent_channels(mask01)   # [1,4,T',H,W]
+        mask_latents = resize_mask_like_reference(1.0 - grouped, latent_shape)
+        mask_ti2v = resize_trilinear(grouped[:, :1], latent_shape,
+                                     align_corners=True)
+        return mask_latents, mask_ti2v
+
     @partial(jax.jit, static_argnums=(0,))
     def _vae_encode_jit(self, vae_params, clips):
         return vae_encode_mode(vae_params, self.cfg.vae,
@@ -330,12 +340,8 @@ class FlexAMGenerationPipeline:
                        .reshape(1, -1, lt, lh, lw) if n_cos else None)
 
         if mask_video is not None:
-            grouped = group_mask_to_latent_channels(mask01)   # [1,4,T',H,W]
-            mask_latents = resize_mask_like_reference(
-                1.0 - grouped, (lt, lh, lw))
-            # TI2V latent-space mask (`:683-686`), align_corners=True
-            mask_ti2v = resize_trilinear(grouped[:, :1], (lt, lh, lw),
-                                         align_corners=True)
+            mask_latents, mask_ti2v = self._mask_latents_jit(
+                mask01, (lt, lh, lw))
         else:
             # mask_video == 255 path (`:645-655`): zeros mask latents,
             # zero masked video, all-ones TI2V mask
