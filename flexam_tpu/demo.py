@@ -73,6 +73,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="force a jax platform (e.g. cpu); the axon TPU "
                         "plugin ignores JAX_PLATFORMS so this uses the "
                         "config knob")
+    p.add_argument("--host_rasterize", action="store_true",
+                   help="rasterize control videos on the host (the "
+                        "reference's CPU path; default rasterizes on "
+                        "device so videos never cross the tunnel)")
+    p.add_argument("--save_artifacts", action="store_true",
+                   help="write tracking/cos/depth debug mp4s (device "
+                        "path: forces a full-res fetch; host path always "
+                        "saves them like the reference)")
     return p
 
 
@@ -248,17 +256,31 @@ def main(argv=None):
 
     # ---- pipeline ----
     pipe = _build_models(args)
-    orch = FlexAMOrchestrator(pipe, output_dir=args.output_dir, fps=args.fps)
-
-    tracking, cos_videos, depth = orch.visualize_tracking(
-        tracks, vis, h, w, point_wise=point_wise,
-        generate_type=args.generate_type, mask_path=args.mask_path)
+    orch = FlexAMOrchestrator(
+        pipe, output_dir=args.output_dir, fps=args.fps,
+        save_tracking=args.save_artifacts or args.host_rasterize)
 
     # ---- inpaint video + mask per mode (`demo.py:361-395`) ----
     if args.generate_type == "full_edit":
         first = repaint[:, :, 0] if repaint is not None \
             else input_video[:, :, 0]
         full_ref = first[:, :, None]
+        if not args.host_rasterize:
+            # device path: only the first frame + tracks cross the tunnel
+            if pipe.tokenizer is None:
+                print("NOTE: no tokenizer (random init); "
+                      "using hashed prompt ids")
+            orch.apply_tracks(
+                tracks, vis, h, w, prompt=args.prompt,
+                point_wise=point_wise, generate_type=args.generate_type,
+                mask_path=args.mask_path, first_frame=full_ref,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                density=1.0 / args.density, seed=args.seed,
+                scheduler_type=args.scheduler,
+                cfg_skip_ratio=args.cfg_skip_ratio,
+                teacache_thresh=args.teacache_thresh)
+            return
         inpaint_video, inpaint_mask = get_image_to_video_input(
             (first[0].transpose(1, 2, 0) * 255).astype(np.uint8),
             args.video_length, (h, w))
@@ -276,6 +298,26 @@ def main(argv=None):
         inpaint_video = np.concatenate(
             [repaint[:, :, :1], input_video[:, :, 1:]], axis=2)
         full_ref = repaint
+        if not args.host_rasterize:
+            if pipe.tokenizer is None:
+                print("NOTE: no tokenizer (random init); "
+                      "using hashed prompt ids")
+            orch.apply_tracks(
+                tracks, vis, h, w, prompt=args.prompt,
+                point_wise=point_wise, generate_type=args.generate_type,
+                mask_path=args.mask_path, video=inpaint_video,
+                mask_video=inpaint_mask / 255.0, ref_image=full_ref,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                density=1.0 / args.density, seed=args.seed,
+                scheduler_type=args.scheduler,
+                cfg_skip_ratio=args.cfg_skip_ratio,
+                teacache_thresh=args.teacache_thresh)
+            return
+
+    tracking, cos_videos, depth = orch.visualize_tracking(
+        tracks, vis, h, w, point_wise=point_wise,
+        generate_type=args.generate_type, mask_path=args.mask_path)
 
     # tokenizer-less random-init smoke: embed prompt ids from hashing
     if pipe.tokenizer is None:

@@ -105,6 +105,48 @@ class FlexAMOrchestrator:
                        fps=self.fps)
         return tracking, cos_videos, depth
 
+    def apply_tracks(
+        self, tracks: np.ndarray, visibility: Optional[np.ndarray],
+        height: int, width: int, prompt: str,
+        point_wise: int = 4, generate_type: str = "full_edit",
+        mask_path: Optional[str] = None,
+        first_frame: Optional[np.ndarray] = None,  # [1,3,(1,)H,W] in [0,1]
+        video: Optional[np.ndarray] = None,        # [1,3,T,H,W] in [0,1]
+        mask_video: Optional[np.ndarray] = None,   # [1,1,T,H,W] in [0,1]
+        ref_image: Optional[np.ndarray] = None,
+        num_inference_steps: int = 50, guidance_scale: float = 6.0,
+        density: float = 0.1, seed: int = 1245644,
+        negative_prompt: Optional[str] = None,
+        output_name: str = "result.mp4", **kwargs,
+    ) -> np.ndarray:
+        """Device-rasterized generation: tracks go straight to the chip
+        (conditioning.rasterize_device), control videos never cross the
+        tunnel. Functional equivalent of visualize_tracking+apply_tracking
+        (parity: tests/test_pipeline.py). Artifact mp4s are only written
+        when save_tracking is set — they force a full-res device fetch."""
+        raster_mask = self.load_mask_video(mask_path, generate_type,
+                                           tracks.shape[0], height, width)
+        cond = self.pipe.prepare_conditioning_from_tracks(
+            tracks, visibility, height, width, point_wise=point_wise,
+            generate_type=generate_type, raster_mask=raster_mask,
+            video=video, first_frame=first_frame, mask_video=mask_video,
+            ref_image=ref_image, return_videos=self.save_tracking)
+        for name, v in cond.pop("videos", {}).items():
+            fname = {"tracking": "tracking_video_delta.mp4",
+                     "depth": "depth_video_delta.mp4"}.get(
+                         name, f"delta_{name.replace('cos_', 'cos_i_')}.mp4")
+            save_video(v, os.path.join(self.output_dir, fname), fps=self.fps)
+        context = self.pipe.encode_prompt(prompt, negative_prompt,
+                                          do_cfg=guidance_scale > 1.0)
+        out = self.pipe.generate_from_cond(
+            cond, context, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, seed=seed, density=density,
+            **kwargs)
+        path = os.path.join(os.path.abspath(self.output_dir), output_name)
+        save_video(out, path, fps=self.fps)
+        print(f"Final video generated successfully at: {path}")
+        return out
+
     def apply_tracking(
         self, tracking_video: np.ndarray, cos_videos: Dict[int, np.ndarray],
         depth_video: np.ndarray, full_ref: np.ndarray,

@@ -336,8 +336,10 @@ class FlexAMGenerationPipeline:
         masked_video_latents = lat[idx:idx + 1]; idx += 1
         control_latents = lat[idx:idx + 1]; idx += 1
         depth_latents = lat[idx:idx + 1]; idx += 1
-        cos_latents = (lat[idx:idx + n_cos].transpose(1, 0, 2, 3, 4)
-                       .reshape(1, -1, lt, lh, lw) if n_cos else None)
+        # level-major channel order, `torch.cat(cos_latents_list, dim=1)`
+        # (`pipeline...FlexAM.py:772`)
+        cos_latents = (lat[idx:idx + n_cos].reshape(1, -1, lt, lh, lw)
+                       if n_cos else None)
 
         if mask_video is not None:
             mask_latents, mask_ti2v = self._mask_latents_jit(
@@ -382,6 +384,167 @@ class FlexAMGenerationPipeline:
             "first_frame_known": first_frame_known,
             "latent_shape": (cfgv.latent_channels, lt, lh, lw),
         }
+
+    # -- device-side conditioning (tracks cross the tunnel, videos don't) ----
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _tiled_first_masked_jit(self, first, t):
+        """full_edit image-to-video conditioning built ON DEVICE from the
+        single first frame (`get_image_to_video_latent` semantics,
+        `utils.py:303-397`): video = first frame tiled, mask = frame 0
+        known / rest generate, so masked = [first*2-1, zeros...]."""
+        b, c, _, h, w = first.shape
+        f0 = (first.astype(jnp.float32) * 2.0 - 1.0).astype(self.compute_dtype)
+        masked = jnp.concatenate(
+            [f0, jnp.zeros((b, c, t - 1, h, w), self.compute_dtype)], axis=2)
+        mask01 = jnp.concatenate(
+            [jnp.zeros((b, 1, 1, h, w), jnp.float32),
+             jnp.ones((b, 1, t - 1, h, w), jnp.float32)], axis=2)
+        return masked, mask01
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _masked_from_video_jit(self, video, mask_u8):
+        """(video*2-1) * (mask<0.5) on device (`pipeline...FlexAM.py:662`);
+        video ships fp16, mask uint8 — one crossing each."""
+        v = video.astype(jnp.float32) * 2.0 - 1.0
+        keep = (mask_u8 < 1).astype(jnp.float32)
+        return (v * keep).astype(self.compute_dtype), \
+            mask_u8.astype(jnp.float32)
+
+    def prepare_conditioning_from_tracks(
+        self,
+        tracks: np.ndarray,                # [T, N, 3] (u, v, depth)
+        visibility: Optional[np.ndarray],  # [T, N] bool
+        height: int, width: int,
+        point_wise: int = 4,
+        generate_type: str = "full_edit",
+        raster_mask: Optional[np.ndarray] = None,   # [T, H, W] {0,1} fg/bg draw filter
+        video: Optional[np.ndarray] = None,         # [1,3,T,H,W] in [0,1]; None = first-frame tiled
+        first_frame: Optional[np.ndarray] = None,   # [1,3,1,H,W] in [0,1]
+        mask_video: Optional[np.ndarray] = None,    # [1,1,T,H,W] in [0,1]
+        ref_image: Optional[np.ndarray] = None,     # default: first frame
+        cos_level: int = 4,
+        rng: Optional[np.random.RandomState] = None,
+        return_videos: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Device-side `prepare_conditioning`: rasterize the 6 control
+        streams from tracks ON the chip (conditioning.rasterize_device) and
+        VAE-encode them in place — only tracks [T,N,3] + tiny color tables
+        (+ the first frame, or the real video for fg/bg edits) cross the
+        host<->device tunnel, collapsing the round-1 123 s prepare phase.
+
+        Output dict is identical to `prepare_conditioning`'s (parity test:
+        tests/test_pipeline.py). `return_videos` additionally returns the
+        rasterized streams for artifact saving (forces a device fetch)."""
+        from flexam_tpu.conditioning.rasterize_device import DeviceRasterizer
+
+        cfgv = self.cfg.vae
+        t = int(tracks.shape[0])
+        lt = (t - 1) // cfgv.temporal_compression_ratio + 1
+        lh = height // cfgv.spatial_compression_ratio
+        lw = width // cfgv.spatial_compression_ratio
+        dt = self.compute_dtype
+
+        rast = DeviceRasterizer(
+            tracks, visibility, height, width, point_wise=point_wise,
+            cos_level=cos_level, raster_mask=raster_mask,
+            generate_type=generate_type, rng=rng)
+
+        # masked-video stream + mask, fully on device
+        if video is None:
+            if first_frame is None:
+                raise ValueError("track conditioning needs video= or "
+                                 "first_frame=")
+            ff = jnp.asarray(np.asarray(first_frame, np.float16))
+            if ff.ndim == 4:
+                ff = ff[:, :, None]
+            masked, mask01 = self._tiled_first_masked_jit(ff, t)
+            have_mask = True
+        else:
+            if mask_video is not None:
+                mask_u8 = jnp.asarray(
+                    (np.asarray(mask_video, np.float32) > 0.5
+                     ).astype(np.uint8))
+                masked, mask01 = self._masked_from_video_jit(
+                    jnp.asarray(np.asarray(video, np.float16)), mask_u8)
+                have_mask = True
+            else:
+                masked = jnp.zeros(video.shape, dt)
+                mask01 = jnp.ones((1, 1, t, height, width), jnp.float32)
+                have_mask = False
+
+        # encode streams one at a time: each full-res video exists only
+        # transiently in HBM next to the resident DiT weights
+        videos = {}
+
+        def enc(stream, name=None):
+            if return_videos and name is not None:
+                videos[name] = np.asarray(
+                    (stream.astype(jnp.float32) + 1.0) / 2.0)
+            return self._encode_clips(stream)
+
+        masked_video_latents = enc(masked)
+        del masked
+        control_latents = enc(
+            rast.tracking_video(normalize=True, dtype=dt), "tracking")
+        depth_latents = enc(
+            rast.depth_video(normalize=True, dtype=dt), "depth")
+        cos_lat_list = []
+        for lvl in range(rast.num_cos_levels):
+            cos_lat_list.append(enc(
+                rast.cos_video(lvl, normalize=True, dtype=dt),
+                f"cos_{lvl}"))
+        rast.free()
+        cos_latents = (jnp.concatenate(cos_lat_list, axis=1)
+                       if cos_lat_list else None)
+
+        if have_mask:
+            mask_latents, mask_ti2v = self._mask_latents_jit(
+                mask01, (lt, lh, lw))
+        else:
+            mask_latents = jnp.zeros((1, 4, lt, lh, lw), jnp.float32)
+            masked_video_latents = jnp.zeros_like(masked_video_latents)
+            mask_ti2v = jnp.ones((1, 1, lt, lh, lw), jnp.float32)
+
+        first_frame_known = bool(
+            np.asarray(mask_ti2v[:, :, 0]).max() == 0.0)
+        if first_frame_known:
+            mask_ti2v = mask_ti2v.at[:, :, 1:].set(1.0)
+
+        ref = ref_image if ref_image is not None else first_frame
+        if ref is not None:
+            r = jnp.asarray(np.asarray(ref, np.float16))
+            if r.ndim == 4:
+                r = r[:, :, None]
+            ref_lat = self._vae_encode_jit(
+                self.models.vae_params,
+                (r.astype(jnp.float32) * 2.0 - 1.0))[:, :, 0]
+        else:
+            ref_lat = jnp.zeros((1, cfgv.latent_channels, lh, lw),
+                                jnp.float32)
+
+        additional = (jnp.concatenate([depth_latents, cos_latents], axis=1)
+                      if cos_latents is not None else
+                      jnp.concatenate(
+                          [depth_latents,
+                           jnp.zeros((1, 4 * cfgv.latent_channels,
+                                      lt, lh, lw),
+                                     depth_latents.dtype)], axis=1))
+
+        cond = {
+            "per_token_t": have_mask,
+            "control_latents": control_latents.astype(dt),
+            "mask_latents": mask_latents.astype(dt),
+            "masked_video_latents": masked_video_latents.astype(dt),
+            "additional_control": additional.astype(dt),
+            "ref_latents": ref_lat.astype(dt),
+            "mask_ti2v": mask_ti2v.astype(jnp.float32),
+            "first_frame_known": first_frame_known,
+            "latent_shape": (cfgv.latent_channels, lt, lh, lw),
+        }
+        if return_videos:
+            cond["videos"] = videos
+        return cond
 
     # -- denoise -------------------------------------------------------------
 
@@ -621,6 +784,23 @@ class FlexAMGenerationPipeline:
                                      do_cfg=guidance_scale > 1.0)
         cond = self.prepare_conditioning(video, mask_video, control_video,
                                          depth_video, cos_videos, ref_image)
+        return self.generate_from_cond(
+            cond, context, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, seed=seed, density=density,
+            scheduler_type=scheduler_type, cfg_skip_ratio=cfg_skip_ratio,
+            teacache_thresh=teacache_thresh,
+            teacache_skip_start=teacache_skip_start,
+            offload_dit_for_decode=offload_dit_for_decode,
+            output_type=output_type)
+
+    def generate_from_cond(self, cond, context, num_inference_steps=50,
+                           guidance_scale=6.0, seed=1245644, density=None,
+                           scheduler_type=None, cfg_skip_ratio=0.0,
+                           teacache_thresh=0.0, teacache_skip_start=5,
+                           offload_dit_for_decode: Optional[bool] = None,
+                           output_type="np") -> np.ndarray:
+        """Denoise + decode from a prepared conditioning dict (shared by
+        the host-video and device-rasterized prepare paths)."""
         latents = self.denoise(cond, context,
                                num_inference_steps=num_inference_steps,
                                guidance_scale=guidance_scale, seed=seed,
@@ -632,8 +812,12 @@ class FlexAMGenerationPipeline:
         if output_type == "latent":
             return np.asarray(latents)
         if offload_dit_for_decode is None:
-            t_, h_, w_ = video.shape[2:]
-            offload_dit_for_decode = self._use_streaming(1, t_, h_, w_)
+            _, lt, lh, lw = cond["latent_shape"]
+            cfgv = self.cfg.vae
+            offload_dit_for_decode = self._use_streaming(
+                1, (lt - 1) * cfgv.temporal_compression_ratio + 1,
+                lh * cfgv.spatial_compression_ratio,
+                lw * cfgv.spatial_compression_ratio)
         if offload_dit_for_decode:
             self.offload_dit_to_host()
         out = self._decode(latents)

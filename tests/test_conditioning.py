@@ -173,3 +173,67 @@ def test_mask_filtered_rasterizer(ref_pipe):
     ref_video = ref_video.transpose(3, 0, 1, 2)[None]
     diff = np.abs(ours - ref_video)
     assert (diff == 0).mean() > 0.999
+
+
+# ---------------------------------------------------------------------------
+# Device scatter rasterizer vs the host/C++ painter (bit-exact for distinct
+# depths; the production path that keeps full-res videos off the tunnel)
+# ---------------------------------------------------------------------------
+
+def _assert_video_equal(dev, host):
+    """Splat-exact: uint8 color planes identical; float repr within 1 ulp
+    (XLA lowers /255.0 to a reciprocal multiply)."""
+    dev = np.asarray(dev)
+    np.testing.assert_array_equal(np.round(dev * 255).astype(np.uint8),
+                                  np.round(host * 255).astype(np.uint8))
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def _distinct_depth_tracks(seed=3):
+    """Depth ties make painter order sort-kind-dependent; use strictly
+    distinct depths so host and device paths are bit-identical."""
+    rng = np.random.RandomState(seed)
+    tracks, vis = _tracks(seed)
+    flat = tracks.reshape(-1, 3)
+    flat[:, 2] = np.linspace(0.5, 3.0, flat.shape[0])[
+        rng.permutation(flat.shape[0])]
+    return tracks, vis
+
+
+def test_device_tracking_rasterizer_parity():
+    from flexam_tpu.conditioning.rasterize_device import DeviceRasterizer
+    tracks, vis = _distinct_depth_tracks()
+    rng = np.random.RandomState(7)
+    host = rasterize_tracking_video(tracks, vis, H, W, point_wise=4,
+                                    rng=np.random.RandomState(7))
+    dev = DeviceRasterizer(tracks, vis, H, W, point_wise=4,
+                           rng=np.random.RandomState(7))
+    _assert_video_equal(dev.tracking_video(), host)
+
+
+def test_device_cos_and_depth_rasterizer_parity():
+    from flexam_tpu.conditioning.rasterize_device import DeviceRasterizer
+    tracks, vis = _distinct_depth_tracks(5)
+    enc = cosine_positional_encoding(tracks, H, W)
+    host_cos = rasterize_cos_videos(enc, tracks, vis, H, W)
+    host_depth = rasterize_depth_video(tracks, vis, H, W, point_wise=4)
+    dev = DeviceRasterizer(tracks, vis, H, W, point_wise=4)
+    for lvl, v in enumerate(dev.cos_videos()):
+        _assert_video_equal(v, host_cos[lvl])
+    _assert_video_equal(dev.depth_video(), host_depth)
+
+
+def test_device_rasterizer_mask_filter_and_pointwise2():
+    from flexam_tpu.conditioning.rasterize_device import DeviceRasterizer
+    tracks, vis = _distinct_depth_tracks(9)
+    mask = np.zeros((T, H, W), np.float32)
+    mask[:, : H // 2] = 1.0
+    host = rasterize_tracking_video(tracks, vis, H, W, point_wise=2,
+                                    mask_video=mask,
+                                    generate_type="foreground_edit",
+                                    rng=np.random.RandomState(1))
+    dev = DeviceRasterizer(tracks, vis, H, W, point_wise=2,
+                           raster_mask=mask,
+                           generate_type="foreground_edit",
+                           rng=np.random.RandomState(1))
+    _assert_video_equal(dev.tracking_video(), host)

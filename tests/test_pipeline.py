@@ -171,3 +171,94 @@ def test_timestep_moe_boundary(pipe):
     diff = np.asarray(pipe.denoise(cond, context, **kw))
     assert not np.allclose(single, diff)
     pipe.models.dit2_params = None
+
+
+# ---------------------------------------------------------------------------
+# Device-side conditioning (prepare_conditioning_from_tracks) vs the host
+# rasterize+prepare path. Differences are bounded by the host path's fp16
+# transfer quantization (the device path never leaves f32).
+# ---------------------------------------------------------------------------
+
+def _track_fixture(n=60, seed=4):
+    rng = np.random.RandomState(seed)
+    base = np.stack([rng.uniform(0, W, n), rng.uniform(0, H, n),
+                     np.zeros(n)], axis=1)
+    drift = rng.uniform(-2, 2, (T, 1, 3)).cumsum(0)
+    tracks = (base[None] + drift).astype(np.float32)
+    flat = tracks.reshape(-1, 3)
+    flat[:, 2] = np.linspace(0.5, 3.0, flat.shape[0])[
+        rng.permutation(flat.shape[0])]
+    vis = rng.rand(T, n) > 0.2
+    return tracks, vis
+
+
+def _cond_close(cond_dev, cond_host, atol):
+    assert cond_dev["first_frame_known"] == cond_host["first_frame_known"]
+    assert cond_dev["per_token_t"] == cond_host["per_token_t"]
+    for k in ("control_latents", "mask_latents", "masked_video_latents",
+              "additional_control", "ref_latents", "mask_ti2v"):
+        np.testing.assert_allclose(
+            np.asarray(cond_dev[k], np.float32),
+            np.asarray(cond_host[k], np.float32), atol=atol,
+            err_msg=k)
+
+
+def test_prepare_from_tracks_full_edit_parity(pipe):
+    from flexam_tpu.conditioning import (cosine_positional_encoding,
+                                         rasterize_cos_videos,
+                                         rasterize_depth_video,
+                                         rasterize_tracking_video)
+    from flexam_tpu.utils.media import get_image_to_video_input
+    tracks, vis = _track_fixture()
+    rng = np.random.RandomState(11)
+    first_u8 = rng.randint(0, 256, (H, W, 3)).astype(np.uint8)
+    first = (first_u8.transpose(2, 0, 1)[None, :, None] / 255.0
+             ).astype(np.float32)
+
+    tracking = rasterize_tracking_video(tracks, vis, H, W)
+    enc = cosine_positional_encoding(tracks, H, W)
+    cosv = rasterize_cos_videos(enc, tracks, vis, H, W)
+    depthv = rasterize_depth_video(tracks, vis, H, W)
+    video, mask = get_image_to_video_input(first_u8, T, (H, W))
+    cond_host = pipe.prepare_conditioning(
+        video, mask / 255.0, tracking, depthv,
+        [cosv[k] for k in sorted(cosv)], first)
+
+    cond_dev = pipe.prepare_conditioning_from_tracks(
+        tracks, vis, H, W, first_frame=first)
+    assert cond_dev["first_frame_known"]
+    _cond_close(cond_dev, cond_host, atol=5e-3)
+
+
+def test_prepare_from_tracks_fg_edit_parity(pipe):
+    from flexam_tpu.conditioning import (cosine_positional_encoding,
+                                         rasterize_cos_videos,
+                                         rasterize_depth_video,
+                                         rasterize_tracking_video)
+    tracks, vis = _track_fixture(seed=9)
+    rng = np.random.RandomState(3)
+    video = (rng.randint(0, 256, (1, 3, T, H, W)) / 255.0).astype(np.float32)
+    mask01 = np.zeros((1, 1, T, H, W), np.float32)
+    mask01[:, :, :, : H // 2] = 1.0
+    raster_mask = np.broadcast_to(mask01[0, 0], (T, H, W)).copy()
+    ref = video[:, :, :1]
+
+    tracking = rasterize_tracking_video(
+        tracks, vis, H, W, mask_video=raster_mask,
+        generate_type="foreground_edit")
+    enc = cosine_positional_encoding(tracks, H, W)
+    cosv = rasterize_cos_videos(enc, tracks, vis, H, W,
+                                mask_video=raster_mask,
+                                generate_type="foreground_edit")
+    depthv = rasterize_depth_video(tracks, vis, H, W,
+                                   mask_video=raster_mask,
+                                   generate_type="foreground_edit")
+    cond_host = pipe.prepare_conditioning(
+        video, mask01, tracking, depthv,
+        [cosv[k] for k in sorted(cosv)], ref)
+
+    cond_dev = pipe.prepare_conditioning_from_tracks(
+        tracks, vis, H, W, generate_type="foreground_edit",
+        raster_mask=raster_mask, video=video, mask_video=mask01,
+        ref_image=ref)
+    _cond_close(cond_dev, cond_host, atol=5e-3)
