@@ -206,5 +206,10 @@ class DeviceRasterizer:
                         jnp.asarray(self._depth_colors), True,
                         normalize, dtype)
 
+    def drop(self, window: int, y_strict: bool):
+        """Free one cached rank image ([T,H,W] int32 ≈ 170 MB at flagship
+        scale — material next to resident 5B weights on a 16 GB chip)."""
+        self._pimg_cache.pop((window, y_strict), None)
+
     def free(self):
         self._pimg_cache.clear()

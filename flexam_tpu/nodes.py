@@ -49,7 +49,11 @@ class LoadFlexAMModel:
     CATEGORY = "FlexAM-TPU"
 
     def loadmodel(self, model, GPU_memory_mode="model_full_load",
-                  model_type="Inpaint", random_init=None):
+                  model_type="Inpaint", random_init=None, model_2=None,
+                  config=None):
+        """`model_2` loads a second high-noise expert for the
+        timestep-MoE boundary switch (`wan2_2_fun_flexam/nodes.py:266-274`);
+        `config` accepts a LoadConfig output (FlexAMConfig)."""
         import jax
         import jax.numpy as jnp
 
@@ -82,17 +86,38 @@ class LoadFlexAMModel:
                 t5_params=load_t5_checkpoint(
                     os.path.join(model, "models_t5_umt5-xxl-enc-bf16.pth"),
                     cfg.t5))
+        if config is not None:
+            models.cfg = config
+        if model_2 is not None:
+            if os.path.isdir(str(model_2)):
+                from flexam_tpu.io.checkpoints import load_dit_checkpoint
+                models.dit2_params = load_dit_checkpoint(str(model_2),
+                                                         models.cfg.dit)
+            else:
+                from flexam_tpu.models.dit import init_dit_params
+                models.dit2_params = init_dit_params(
+                    jax.random.PRNGKey(1), models.cfg.dit,
+                    dtype=jnp.float32 if random_init == "tiny"
+                    else jnp.bfloat16)
         if "qfloat8" in GPU_memory_mode:
             from flexam_tpu.utils.fp8 import convert_weights_to_fp8
             models.dit_params = convert_weights_to_fp8(models.dit_params)
+            if models.dit2_params is not None:
+                models.dit2_params = convert_weights_to_fp8(
+                    models.dit2_params)
         pipe = FlexAMGenerationPipeline(models)
+        # cpu-offload / sequential modes: generate() round-trips the DiT
+        # to host RAM around the VAE decode automatically (pipeline.py);
+        # the mode string is kept for graph parity
+        pipe.gpu_memory_mode = GPU_memory_mode
         return (pipe,)
 
 
 class FlexAMV2VSampler:
     """`Wan2_2FunV2VSampler_FlexAM.process` (`wan2_2_fun_flexam/nodes.py
     :455-687`): aspect-bucket resolution snap, TeaCache/cfg-skip/riflex
-    wiring, fg/bg mask pipelines, generation."""
+    wiring, fg/bg mask pipelines, LoRA hot-merge with host-side weight
+    cache (`:595-649`), generation."""
 
     GENERATE_TYPES = ("motion_transfer", "fg_generation", "bg_generation")
 
@@ -130,6 +155,45 @@ class FlexAMV2VSampler:
         scale = base_resolution / 512.0
         return (int(bh * scale) // 16 * 16, int(bw * scale) // 16 * 16)
 
+    # host-side pristine-weight cache for LoRA hot-swap
+    # (`wan2_2_fun_flexam/nodes.py:595-649`: transformer_cpu_cache +
+    # lora_path_before); class-level like the reference's module globals
+    _lora_cache: Dict[int, dict] = {}
+    _lora_before: Dict[int, str] = {}
+
+    def _apply_loras(self, pipe, loras, strengths, lora_cache):
+        """Merge LoRA safetensors into the DiT weights. With lora_cache,
+        pristine weights are kept in HOST memory and restored before each
+        different merge (the reference's CPU state-dict cache); without it,
+        merges are unmerged after the run by the caller."""
+        import jax
+        from safetensors.numpy import load_file
+
+        from flexam_tpu.utils.lora import merge_lora
+        key = id(pipe)
+        if lora_cache:
+            if key not in self._lora_cache:
+                print("Save transformer weights to host memory")
+                self._lora_cache[key] = jax.device_get(pipe.models.dit_params)
+            now = str(list(loras) + list(strengths))
+            if self._lora_before.get(key) != now:
+                print("Merge Lora with Cache")
+                self._lora_before[key] = now
+                pipe.models.dit_params = jax.device_put(self._lora_cache[key])
+                for path, w in zip(loras, strengths):
+                    pipe.models.dit_params = merge_lora(
+                        pipe.models.dit_params, load_file(path), w)
+            return []
+        if key in self._lora_cache:     # cache -> no-cache transition
+            pipe.models.dit_params = jax.device_put(self._lora_cache.pop(key))
+            self._lora_before.pop(key, None)
+        merged = []
+        for path, w in zip(loras, strengths):
+            pipe.models.dit_params = merge_lora(
+                pipe.models.dit_params, load_file(path), w)
+            merged.append((path, w))
+        return merged
+
     def process(self, flexam_model, prompt, validation_video,
                 control_video=None, depth_video=None, cos_videos=None,
                 ref_image=None, mask_video=None, video_length=49,
@@ -138,8 +202,15 @@ class FlexAMV2VSampler:
                 density=15.0, enable_teacache=False,
                 teacache_threshold=0.10, teacache_skip_start=5,
                 cfg_skip_ratio=0.0, enable_riflex=False, riflex_k=6,
-                negative_prompt=None):
+                negative_prompt=None, loras=(), strength_model=(),
+                lora_cache=False):
         pipe = flexam_model
+        merged_loras = []
+        if loras:
+            strengths = (list(strength_model)
+                         or [1.0] * len(loras))[:len(loras)]
+            merged_loras = self._apply_loras(pipe, loras, strengths,
+                                             lora_cache)
         v = np.asarray(validation_video, np.float32)
         h, w = v.shape[-2:]
         th, tw = self.snap_resolution(h, w, base_resolution)
@@ -178,6 +249,13 @@ class FlexAMV2VSampler:
             teacache_skip_start=teacache_skip_start)
         if enable_riflex:
             pipe.disable_riflex()
+        if merged_loras:
+            from safetensors.numpy import load_file
+
+            from flexam_tpu.utils.lora import unmerge_lora
+            for path, w in reversed(merged_loras):
+                pipe.models.dit_params = unmerge_lora(
+                    pipe.models.dit_params, load_file(path), w)
         return (out,)
 
 
@@ -200,10 +278,9 @@ class FunAttention:
         return (attention_type,)
 
 
-class VideoToTrackingVisualize:
-    """`VideoToTrackingVisualize`/`VideoToCosVisualize`/
-    `VideoTodepthVisualize` (`annotator/nodes.py:436,560,763`) in one node:
-    rasterize precomputed tracks into the 6 control videos."""
+class VideoToTrackingVisualizeAll:
+    """`VideoToTrackingVisualizeAll` (`annotator/nodes.py:863-977`):
+    rasterize precomputed tracks into ALL 6 control videos in one node."""
 
     RETURN_TYPES = ("IMAGE", "IMAGE_LIST", "IMAGE")
     FUNCTION = "process"
@@ -232,16 +309,471 @@ class VideoToTrackingVisualize:
         return (tracking, [cos[k] for k in sorted(cos)], depth)
 
 
+class VideoToTrackingVisualize:
+    """`VideoToTrackingVisualize` (`annotator/nodes.py:436-558`): the
+    tracking control video alone."""
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "process"
+    CATEGORY = "FlexAM-TPU"
+
+    def process(self, pred_tracks, pred_visibility, height, width,
+                point_size=4, generate_type="full_edit", mask_video=None):
+        from flexam_tpu.conditioning import rasterize_tracking_video
+        return (rasterize_tracking_video(
+            pred_tracks, pred_visibility, height, width,
+            point_wise=point_size, mask_video=mask_video,
+            generate_type=generate_type),)
+
+
+class VideoToCosVisualize:
+    """`VideoToCosVisualize` (`annotator/nodes.py:560-761`): the L
+    cosine-PE control videos."""
+
+    RETURN_TYPES = ("IMAGE", "IMAGE", "IMAGE", "IMAGE")
+    RETURN_NAMES = ("cos_level_0", "cos_level_1", "cos_level_2",
+                    "cos_level_3")
+    FUNCTION = "process"
+    CATEGORY = "FlexAM-TPU"
+
+    def process(self, pred_tracks, pred_visibility, height, width,
+                point_size=4, cos_level=4, generate_type="full_edit",
+                mask_video=None):
+        from flexam_tpu.conditioning import (cosine_positional_encoding,
+                                             rasterize_cos_videos)
+        enc = cosine_positional_encoding(pred_tracks, height, width,
+                                         L=cos_level)
+        cos = rasterize_cos_videos(enc, pred_tracks, pred_visibility,
+                                   height, width, mask_video=mask_video,
+                                   generate_type=generate_type)
+        return tuple(cos[k] for k in sorted(cos))
+
+
+class VideoTodepthVisualize:
+    """`VideoTodepthVisualize` (`annotator/nodes.py:763-861`): the
+    Spectral-colormap depth control video."""
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "process"
+    CATEGORY = "FlexAM-TPU"
+
+    def process(self, pred_tracks, pred_visibility, height, width,
+                point_size=4, generate_type="full_edit", mask_video=None):
+        from flexam_tpu.conditioning import rasterize_depth_video
+        return (rasterize_depth_video(
+            pred_tracks, pred_visibility, height, width,
+            point_wise=point_size, mask_video=mask_video,
+            generate_type=generate_type),)
+
+
+class VideoToCanny:
+    """`VideoToCanny` (`annotator/nodes.py:116-152`): per-frame cv2 Canny
+    edges, colored 3-channel. Input video [1,3,T,H,W] or [T,H,W,3] float
+    in [0,1]."""
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "process"
+    CATEGORY = "FlexAM-TPU"
+
+    def process(self, input_video, low_threshold=100, high_threshold=200,
+                video_length=81):
+        import cv2
+        v = np.asarray(input_video, np.float32)
+        if v.ndim == 5:                      # [1,3,T,H,W] -> [T,H,W,3]
+            v = v[0].transpose(1, 2, 3, 0)
+        frames = (v[:video_length] * 255).astype(np.uint8)
+        out = []
+        for f in frames:
+            gray = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY)
+            edges = cv2.Canny(gray, low_threshold, high_threshold)
+            out.append(cv2.cvtColor(edges, cv2.COLOR_GRAY2RGB))
+        out = np.stack(out).astype(np.float32) / 255.0
+        return (out.transpose(3, 0, 1, 2)[None],)
+
+
+# External-model annotators. The reference runs Depth-Anything-V2 /
+# DWPose-ONNX / DELTA+UniDepth here (`annotator/nodes.py:153-434`) — all
+# external CUDA checkpoints (empty submodules in the snapshot, SURVEY.md
+# §2.6). The TPU rebuild exposes the same node names with an injectable
+# backend registry: register a callable (a real port or an ONNX host hook)
+# or pass a fixture .npz path.
+
+ANNOTATOR_BACKENDS: Dict[str, object] = {}
+
+
+def register_annotator_backend(name: str, fn) -> None:
+    """fn(video [T,H,W,3] float01, **kw) -> model output (see each node)."""
+    ANNOTATOR_BACKENDS[name] = fn
+
+
+class _ExternalAnnotator:
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "process"
+    CATEGORY = "FlexAM-TPU"
+    BACKEND = ""
+
+    def _video(self, input_video, video_length):
+        v = np.asarray(input_video, np.float32)
+        if v.ndim == 5:
+            v = v[0].transpose(1, 2, 3, 0)
+        return v[:video_length]
+
+    def _run(self, video, fixture=None, **kw):
+        if self.BACKEND in ANNOTATOR_BACKENDS:
+            return ANNOTATOR_BACKENDS[self.BACKEND](video, **kw)
+        if fixture is not None:
+            return dict(np.load(fixture))
+        raise RuntimeError(
+            f"{type(self).__name__} needs an external model: "
+            f"register_annotator_backend({self.BACKEND!r}, fn) or pass "
+            f"fixture=<npz path> (reference consumes external CUDA "
+            f"checkpoints here; its submodule dirs are empty too)")
+
+
+class VideoToDepth(_ExternalAnnotator):
+    """`VideoToDepth` (`annotator/nodes.py:153-233`): Depth-Anything-V2
+    per-frame depth, via backend/fixture (key 'depth': [T,H,W,3] 0..1)."""
+    BACKEND = "depth"
+
+    def process(self, input_video, video_length=81, fixture=None):
+        v = self._video(input_video, video_length)
+        out = self._run(v, fixture)
+        d = np.asarray(out["depth"] if isinstance(out, dict) else out,
+                       np.float32)
+        return (d.transpose(3, 0, 1, 2)[None],)
+
+
+class VideoToPose(_ExternalAnnotator):
+    """`VideoToPose` (`annotator/nodes.py:234-295`): DWPose ONNX skeleton
+    render, via backend/fixture (key 'pose': [T,H,W,3] 0..1)."""
+    BACKEND = "pose"
+
+    def process(self, input_video, video_length=81, fixture=None):
+        v = self._video(input_video, video_length)
+        out = self._run(v, fixture)
+        p = np.asarray(out["pose"] if isinstance(out, dict) else out,
+                       np.float32)
+        return (p.transpose(3, 0, 1, 2)[None],)
+
+
+class VideoToTrackingPredict(_ExternalAnnotator):
+    """`VideoToTrackingPredict` (`annotator/nodes.py:296-434`):
+    DELTA DenseTrack3D + UniDepth dense 3D tracks, via backend/fixture
+    (keys 'tracks' [T,N,3] + 'visibility' [T,N])."""
+    BACKEND = "tracking"
+    RETURN_TYPES = ("TRACKING_DATA", "TRACKING_DATA")
+    RETURN_NAMES = ("pred_tracks", "pred_visibility")
+
+    def process(self, input_video, density=10, video_length=81,
+                fixture=None):
+        v = self._video(input_video, video_length)
+        out = self._run(v, fixture, density=density)
+        return (np.asarray(out["tracks"], np.float32),
+                np.asarray(out["visibility"]).astype(bool))
+
+
+class FunTextBox:
+    """`FunTextBox` (`comfyui_nodes.py:19-34`)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "prompt": ("STRING", {"multiline": True, "default": ""})}}
+
+    RETURN_TYPES = ("STRING_PROMPT",)
+    RETURN_NAMES = ("prompt",)
+    FUNCTION = "process"
+    CATEGORY = "FlexAM-TPU"
+
+    def process(self, prompt):
+        return (prompt,)
+
+
+class FunRiflex:
+    """`FunRiflex` (`comfyui_nodes.py:36-51`): riflex_k passthrough for
+    the sampler's RIFLEx rope rescale."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "riflex_k": ("INT", {"default": 6, "min": 0, "max": 10086})}}
+
+    RETURN_TYPES = ("RIFLEXT_ARGS",)
+    RETURN_NAMES = ("riflex_k",)
+    FUNCTION = "process"
+    CATEGORY = "FlexAM-TPU"
+
+    def process(self, riflex_k):
+        return (riflex_k,)
+
+
+class FunCompile:
+    """`FunCompile` (`comfyui_nodes.py:53-100`): the reference wraps every
+    transformer block in torch.compile. Under XLA everything already runs
+    jit-compiled (one executable per denoise chunk, persisted in
+    .jax_cache); this node warms that cache instead by noting the intent —
+    compilation happens on the first sampler call and is reused."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "cache_size_limit": ("INT", {"default": 64}),
+            "funmodels": ("FLEXAM_MODEL",)}}
+
+    RETURN_TYPES = ("FLEXAM_MODEL",)
+    RETURN_NAMES = ("funmodels",)
+    FUNCTION = "compile"
+    CATEGORY = "FlexAM-TPU"
+
+    def compile(self, cache_size_limit, funmodels):
+        print("Add Compile (XLA jit is always on; persistent cache "
+              "enabled)")
+        return (funmodels,)
+
+
+class LoadConfig:
+    """`LoadConfig` (`comfyui_nodes.py:127-169`): load a reference YAML
+    into a FlexAMConfig (config/ dir resolved relative to the repo)."""
+
+    CONFIGS = [
+        "wan2.2/wan_civitai_t2v.yaml",
+        "wan2.2/wan_civitai_i2v.yaml",
+        "wan2.2/wan_civitai_s2v.yaml",
+        "wan2.2/wan_civitai_5b.yaml",
+        "wan2.2/wan_civitai_5b_FlexAM.yaml",
+    ]
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "config": (cls.CONFIGS,
+                       {"default": "wan2.2/wan_civitai_5b_FlexAM.yaml"})}}
+
+    RETURN_TYPES = ("FunConfig",)
+    RETURN_NAMES = ("config",)
+    FUNCTION = "process"
+    CATEGORY = "FlexAM-TPU"
+
+    def process(self, config, config_dir=None):
+        from flexam_tpu.config import FlexAMConfig
+        if config_dir is None:
+            config_dir = os.environ.get(
+                "FLEXAM_CONFIG_DIR",
+                os.path.join("/root/reference", "config"))
+        return (FlexAMConfig.from_reference_yaml(
+            os.path.join(config_dir, config)),)
+
+
+class CreateTrajectoryBasedOnKJNodes:
+    """`CreateTrajectoryBasedOnKJNodes` (`comfyui_nodes.py:171-225`):
+    gaussian-heatmap trajectory images from coordinate strings."""
+
+    RETURN_TYPES = ("IMAGE",)
+    RETURN_NAMES = ("image",)
+    FUNCTION = "createtrajectory"
+    CATEGORY = "FlexAM-TPU"
+
+    @staticmethod
+    def _heatmap(size=200, sigma=40.0):
+        """`gen_gaussian_heatmap` (`comfyui_nodes.py:155-169`),
+        vectorized."""
+        import cv2
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        g = np.exp(-0.5 * (((yy - size / 2) ** 2
+                            + (xx - size / 2) ** 2) / sigma ** 2))
+        mask = cv2.circle(np.zeros((size, size), np.float32),
+                          (size // 2, size // 2), size // 2 - 1, 1, -1)
+        g = g * mask
+        return (g / g.max() * 255).astype(np.uint8)
+
+    def createtrajectory(self, coordinates, masks):
+        import json
+
+        import cv2
+        if not isinstance(coordinates, str) and len(coordinates) < 10:
+            coords_list = [json.loads(c.replace("'", '"'))
+                           for c in coordinates]
+        else:
+            coords_list = [json.loads(coordinates.replace("'", '"'))]
+        masks = np.asarray(masks)
+        _, fh, fw = masks.shape
+        heatmap = self._heatmap()
+        circle = int(50 * ((fh * fw) / (1280 * 720)) ** 0.5)
+
+        images_list = []
+        for coords in coords_list:
+            frames = []
+            for c in coords:
+                img = np.zeros((fh, fw, 3), np.float32)
+                cc = [c[k] for k in c]
+                y1 = max(cc[1] - circle, 0)
+                y2 = min(cc[1] + circle, fh - 1)
+                x1 = max(cc[0] - circle, 0)
+                x2 = min(cc[0] + circle, fw - 1)
+                if x2 - x1 > 3 and y2 - y1 > 3:
+                    need = cv2.resize(heatmap, (x2 - x1, y2 - y1))[:, :, None]
+                    img[y1:y2, x1:x2] = np.maximum(need, img[y1:y2, x1:x2])
+                frames.append(img[None] / 255.0)
+            images_list.append(np.concatenate(frames, axis=0))
+        return (np.max(np.stack(images_list), axis=0),)
+
+
+class ImageMaximumNode:
+    """`ImageMaximumNode` (`comfyui_nodes.py:227-255`): elementwise max of
+    two [T,H,W,C] videos, second resized/truncated to the first."""
+
+    RETURN_TYPES = ("IMAGE",)
+    RETURN_NAMES = ("image",)
+    FUNCTION = "imagemaximum"
+    CATEGORY = "FlexAM-TPU"
+
+    def imagemaximum(self, video_1, video_2):
+        import jax
+        import jax.numpy as jnp
+        v1 = np.asarray(video_1, np.float32)
+        v2 = np.asarray(video_2, np.float32)
+        if v1.shape[1:3] != v2.shape[1:3]:
+            t2 = v2.shape[0]
+            v2 = np.asarray(jax.image.resize(
+                jnp.asarray(v2), (t2,) + v1.shape[1:3] + (v2.shape[-1],),
+                method="bilinear"))
+        n = min(len(v1), len(v2))
+        return (np.maximum(v1[:n], v2[:n]),)
+
+
+class ImageCollectNode:
+    """`ImageCollectNode` (`comfyui_nodes.py:257-276`)."""
+
+    RETURN_TYPES = ("IMAGE",)
+    RETURN_NAMES = ("image",)
+    FUNCTION = "imagecollect"
+    CATEGORY = "FlexAM-TPU"
+
+    def imagecollect(self, image_1, image_2=None):
+        out = [i for i in image_1]
+        if image_2 is not None:
+            out += [i for i in image_2]
+        return (out,)
+
+
+class CameraBasicFromChaoJie:
+    """`CameraBasicFromChaoJie` (`comfyui_nodes.py:278-309`)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from flexam_tpu.conditioning.camera_presets import PRESET_NAMES
+        return {"required": {
+            "camera_pose": (PRESET_NAMES, {"default": "Static"}),
+            "speed": ("FLOAT", {"default": 1.0}),
+            "video_length": ("INT", {"default": 16})}}
+
+    RETURN_TYPES = ("CameraPose",)
+    FUNCTION = "run"
+    CATEGORY = "FlexAM-TPU"
+
+    def run(self, camera_pose, speed, video_length):
+        from flexam_tpu.conditioning.camera_presets import \
+            preset_camera_motion
+        return (preset_camera_motion(camera_pose, speed, video_length),)
+
+
+class CameraCombineFromChaoJie:
+    """`CameraCombineFromChaoJie` (`comfyui_nodes.py:311-337`): sum of up
+    to four preset motions as one trajectory."""
+
+    RETURN_TYPES = ("CameraPose",)
+    FUNCTION = "run"
+    CATEGORY = "FlexAM-TPU"
+
+    def run(self, camera_pose1, camera_pose2="Static",
+            camera_pose3="Static", camera_pose4="Static", speed=1.0,
+            video_length=16):
+        from flexam_tpu.conditioning.camera_presets import combine_presets
+        return (combine_presets(
+            [camera_pose1, camera_pose2, camera_pose3, camera_pose4],
+            speed, video_length),)
+
+
+class CameraJoinFromChaoJie:
+    """`CameraJoinFromChaoJie` (`comfyui_nodes.py:338-357`)."""
+
+    RETURN_TYPES = ("CameraPose",)
+    FUNCTION = "run"
+    CATEGORY = "FlexAM-TPU"
+
+    def run(self, camera_pose1, camera_pose2):
+        from flexam_tpu.conditioning.camera_presets import \
+            join_camera_motion
+        return (join_camera_motion(camera_pose1, camera_pose2),)
+
+
+class CameraTrajectoryFromChaoJie:
+    """`CameraTrajectoryFromChaoJie` (`comfyui_nodes.py:359-390`)."""
+
+    RETURN_TYPES = ("STRING", "INT")
+    RETURN_NAMES = ("camera_trajectory", "video_length")
+    FUNCTION = "run"
+    CATEGORY = "FlexAM-TPU"
+
+    def run(self, camera_pose, fx=0.474812461, fy=0.844111024, cx=0.5,
+            cy=0.5):
+        from flexam_tpu.conditioning.camera_presets import trajectory_json
+        return (trajectory_json(camera_pose, fx, fy, cx, cy),
+                len(camera_pose))
+
+
 NODE_CLASS_MAPPINGS = {
     "LoadFlexAMModel": LoadFlexAMModel,
     "FlexAMV2VSampler": FlexAMV2VSampler,
+    # reference names (superset parity, `comfyui_nodes.py:393-419`)
+    "LoadWan2_2FunModel_FlexAM": LoadFlexAMModel,
+    "Wan2_2FunV2VSampler_FlexAM": FlexAMV2VSampler,
+    "FunTextBox": FunTextBox,
+    "FunRiflex": FunRiflex,
+    "FunCompile": FunCompile,
     "FunAttention": FunAttention,
+    "LoadConfig": LoadConfig,
+    "VideoToCanny": VideoToCanny,
+    "VideoToDepth": VideoToDepth,
+    "VideoToOpenpose": VideoToPose,
+    "VideoToTrackingPredict": VideoToTrackingPredict,
     "VideoToTrackingVisualize": VideoToTrackingVisualize,
+    "VideoToCosVisualize": VideoToCosVisualize,
+    "VideoTodepthVisualize": VideoTodepthVisualize,
+    "VideoToTrackingVisualizeAll": VideoToTrackingVisualizeAll,
+    "CreateTrajectoryBasedOnKJNodes": CreateTrajectoryBasedOnKJNodes,
+    "CameraBasicFromChaoJie": CameraBasicFromChaoJie,
+    "CameraTrajectoryFromChaoJie": CameraTrajectoryFromChaoJie,
+    "CameraJoinFromChaoJie": CameraJoinFromChaoJie,
+    "CameraCombineFromChaoJie": CameraCombineFromChaoJie,
+    "ImageMaximumNode": ImageMaximumNode,
+    "ImageCollectNode": ImageCollectNode,
 }
 
 NODE_DISPLAY_NAME_MAPPINGS = {
     "LoadFlexAMModel": "Load FlexAM Model (TPU)",
     "FlexAMV2VSampler": "FlexAM V2V Sampler (TPU)",
+    "LoadWan2_2FunModel_FlexAM": "Load FlexAM Model",
+    "Wan2_2FunV2VSampler_FlexAM": "FlexAM Sampler",
+    "FunTextBox": "FunTextBox",
+    "FunRiflex": "FunRiflex",
+    "FunCompile": "FunCompile",
     "FunAttention": "FlexAM Attention Backend",
-    "VideoToTrackingVisualize": "Tracking -> Control Videos",
+    "LoadConfig": "Load Config",
+    "VideoToCanny": "Video To Canny",
+    "VideoToDepth": "Video To Depth",
+    "VideoToOpenpose": "Video To Pose",
+    "VideoToTrackingPredict": "Video To 3D Tracking Predict",
+    "VideoToTrackingVisualize": "Video To 3D Tracking Visualize",
+    "VideoToCosVisualize": "Video To Cosine Encoding Visualize",
+    "VideoTodepthVisualize": "Video To Depth Visualize",
+    "VideoToTrackingVisualizeAll":
+        "Video To All Tracking Visualizations (Combined)",
+    "CreateTrajectoryBasedOnKJNodes": "Create Trajectory Based On KJNodes",
+    "CameraBasicFromChaoJie": "Camera Basic From ChaoJie",
+    "CameraTrajectoryFromChaoJie": "Camera Trajectory From ChaoJie",
+    "CameraJoinFromChaoJie": "Camera Join From ChaoJie",
+    "CameraCombineFromChaoJie": "Camera Combine From ChaoJie",
+    "ImageMaximumNode": "Image Maximum Node",
+    "ImageCollectNode": "Image Collect Node",
 }

@@ -239,7 +239,9 @@ class FlexAMGenerationPipeline:
     @partial(jax.jit, static_argnums=(0, 2))
     def _mask_latents_jit(self, mask01, latent_shape):
         """Mask -> 4ch latent mask + TI2V mask in one fused launch
-        (`pipeline...FlexAM.py:675-686`)."""
+        (`pipeline...FlexAM.py:675-686`). Accepts uint8 masks (the
+        device-prepare path keeps masks packed in HBM)."""
+        mask01 = mask01.astype(jnp.float32)
         grouped = group_mask_to_latent_channels(mask01)   # [1,4,T',H,W]
         mask_latents = resize_mask_like_reference(1.0 - grouped, latent_shape)
         mask_ti2v = resize_trilinear(grouped[:, :1], latent_shape,
@@ -397,9 +399,11 @@ class FlexAMGenerationPipeline:
         f0 = (first.astype(jnp.float32) * 2.0 - 1.0).astype(self.compute_dtype)
         masked = jnp.concatenate(
             [f0, jnp.zeros((b, c, t - 1, h, w), self.compute_dtype)], axis=2)
+        # the persistent mask rides as uint8 (HBM is the scarce resource
+        # next to the resident 5B weights); consumers upcast in-jit
         mask01 = jnp.concatenate(
-            [jnp.zeros((b, 1, 1, h, w), jnp.float32),
-             jnp.ones((b, 1, t - 1, h, w), jnp.float32)], axis=2)
+            [jnp.zeros((b, 1, 1, h, w), jnp.uint8),
+             jnp.ones((b, 1, t - 1, h, w), jnp.uint8)], axis=2)
         return masked, mask01
 
     @partial(jax.jit, static_argnums=(0,))
@@ -408,8 +412,7 @@ class FlexAMGenerationPipeline:
         video ships fp16, mask uint8 — one crossing each."""
         v = video.astype(jnp.float32) * 2.0 - 1.0
         keep = (mask_u8 < 1).astype(jnp.float32)
-        return (v * keep).astype(self.compute_dtype), \
-            mask_u8.astype(jnp.float32)
+        return (v * keep).astype(self.compute_dtype), mask_u8
 
     def prepare_conditioning_from_tracks(
         self,
@@ -474,7 +477,8 @@ class FlexAMGenerationPipeline:
                 have_mask = False
 
         # encode streams one at a time: each full-res video exists only
-        # transiently in HBM next to the resident DiT weights
+        # transiently in HBM next to the resident DiT weights; buffers
+        # (mask, rank images) are freed as soon as their consumers ran
         videos = {}
 
         def enc(stream, name=None):
@@ -483,10 +487,21 @@ class FlexAMGenerationPipeline:
                     (stream.astype(jnp.float32) + 1.0) / 2.0)
             return self._encode_clips(stream)
 
+        if have_mask:
+            mask_latents, mask_ti2v = self._mask_latents_jit(
+                mask01, (lt, lh, lw))
+        else:
+            mask_latents = jnp.zeros((1, 4, lt, lh, lw), jnp.float32)
+            mask_ti2v = jnp.ones((1, 1, lt, lh, lw), jnp.float32)
+        del mask01
+
         masked_video_latents = enc(masked)
         del masked
+        if not have_mask:
+            masked_video_latents = jnp.zeros_like(masked_video_latents)
         control_latents = enc(
             rast.tracking_video(normalize=True, dtype=dt), "tracking")
+        rast.drop(rast.track_window, True)
         depth_latents = enc(
             rast.depth_video(normalize=True, dtype=dt), "depth")
         cos_lat_list = []
@@ -497,14 +512,6 @@ class FlexAMGenerationPipeline:
         rast.free()
         cos_latents = (jnp.concatenate(cos_lat_list, axis=1)
                        if cos_lat_list else None)
-
-        if have_mask:
-            mask_latents, mask_ti2v = self._mask_latents_jit(
-                mask01, (lt, lh, lw))
-        else:
-            mask_latents = jnp.zeros((1, 4, lt, lh, lw), jnp.float32)
-            masked_video_latents = jnp.zeros_like(masked_video_latents)
-            mask_ti2v = jnp.ones((1, 1, lt, lh, lw), jnp.float32)
 
         first_frame_known = bool(
             np.asarray(mask_ti2v[:, :, 0]).max() == 0.0)

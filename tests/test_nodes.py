@@ -5,7 +5,7 @@ import pytest
 
 from flexam_tpu.nodes import (NODE_CLASS_MAPPINGS, FlexAMV2VSampler,
                               FunAttention, LoadFlexAMModel,
-                              VideoToTrackingVisualize)
+                              VideoToTrackingVisualizeAll)
 
 
 def test_mappings_follow_node_protocol():
@@ -56,7 +56,205 @@ def test_visualizer_node():
                        rng.uniform(0, 48, (5, 20)),
                        rng.uniform(0.5, 3, (5, 20))], -1).astype(np.float32)
     vis = np.ones((5, 20), bool)
-    tr, cos_list, depth = VideoToTrackingVisualize().process(
+    tr, cos_list, depth = VideoToTrackingVisualizeAll().process(
         tracks, vis, 48, 64)
     assert tr.shape == (1, 3, 5, 48, 64)
     assert len(cos_list) == 4 and depth.shape == tr.shape
+
+
+# ---------------------------------------------------------------------------
+# Round-2 node surface (VERDICT r1 item 6): reference-name superset,
+# ChaoJie camera set, annotators, LoRA wiring, workflow JSONs
+# ---------------------------------------------------------------------------
+
+def _load_reference_camera_utils():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_camera_utils", "/root/reference/comfyui/camera_utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_node_mapping_superset_of_reference():
+    """Every inference-relevant reference node name resolves here
+    (`comfyui_nodes.py:393-419`)."""
+    ref_names = [
+        "FunTextBox", "FunRiflex", "FunCompile", "FunAttention",
+        "LoadWan2_2FunModel_FlexAM", "Wan2_2FunV2VSampler_FlexAM",
+        "VideoToCanny", "VideoToDepth", "VideoToOpenpose",
+        "VideoToTrackingPredict", "VideoToTrackingVisualize",
+        "VideoToCosVisualize", "VideoTodepthVisualize",
+        "VideoToTrackingVisualizeAll", "CreateTrajectoryBasedOnKJNodes",
+        "CameraBasicFromChaoJie", "CameraTrajectoryFromChaoJie",
+        "CameraJoinFromChaoJie", "CameraCombineFromChaoJie",
+        "ImageMaximumNode", "ImageCollectNode",
+    ]
+    missing = [n for n in ref_names if n not in NODE_CLASS_MAPPINGS]
+    assert not missing, missing
+
+
+def test_camera_presets_parity_vs_reference():
+    """camera_presets math vs the ACTUAL reference camera_utils.py."""
+    ref = _load_reference_camera_utils()
+    from flexam_tpu.conditioning import camera_presets as cp
+    for name in cp.PRESET_NAMES:
+        p = ref.CAMERA[name]
+        theirs = ref.get_camera_motion(np.array(p["angle"]),
+                                       np.array(p["T"]), 1.3, 16)
+        ours = cp.preset_camera_motion(name, 1.3, 16)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-7,
+                                   err_msg=name)
+    rt0 = cp.preset_camera_motion("Pan Up", 1.0, 8)
+    rt1 = cp.preset_camera_motion("CW", 2.0, 8)
+    theirs = ref.combine_camera_motion(rt0.astype(np.float64).copy(),
+                                       rt1.astype(np.float64).copy())
+    ours = cp.join_camera_motion(rt0, rt1)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-7)
+
+
+def test_camera_nodes_and_trajectory_json():
+    import json
+    from flexam_tpu.nodes import (CameraBasicFromChaoJie,
+                                  CameraCombineFromChaoJie,
+                                  CameraJoinFromChaoJie,
+                                  CameraTrajectoryFromChaoJie)
+    rt, = CameraBasicFromChaoJie().run("Zoom In", 1.0, 12)
+    assert rt.shape == (12, 3, 4)
+    rt2, = CameraCombineFromChaoJie().run("Pan Up", "Pan Left")
+    joined, = CameraJoinFromChaoJie().run(rt, rt2)
+    assert joined.shape == (12 + 16, 3, 4)
+    s, n = CameraTrajectoryFromChaoJie().run(rt)
+    data = json.loads(s)
+    assert n == 12 and len(data) == 12 and len(data[0]) == 6 + 12
+
+
+def test_split_visualizer_nodes_match_combined():
+    from flexam_tpu.nodes import (VideoToCosVisualize,
+                                  VideoTodepthVisualize,
+                                  VideoToTrackingVisualize)
+    rng = np.random.RandomState(1)
+    tracks = np.stack([rng.uniform(0, 64, (5, 20)),
+                       rng.uniform(0, 48, (5, 20)),
+                       rng.uniform(0.5, 3, (5, 20))], -1).astype(np.float32)
+    vis = np.ones((5, 20), bool)
+    tr_all, cos_all, depth_all = VideoToTrackingVisualizeAll().process(
+        tracks, vis, 48, 64)
+    tr, = VideoToTrackingVisualize().process(tracks, vis, 48, 64)
+    cos = VideoToCosVisualize().process(tracks, vis, 48, 64)
+    dep, = VideoTodepthVisualize().process(tracks, vis, 48, 64)
+    np.testing.assert_array_equal(tr, tr_all)
+    np.testing.assert_array_equal(dep, depth_all)
+    for a, b in zip(cos, cos_all):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_canny_and_image_nodes():
+    from flexam_tpu.nodes import (ImageCollectNode, ImageMaximumNode,
+                                  VideoToCanny)
+    rng = np.random.RandomState(0)
+    v = rng.rand(1, 3, 4, 32, 32).astype(np.float32)
+    out, = VideoToCanny().process(v, video_length=4)
+    assert out.shape == (1, 3, 4, 32, 32)
+    a = rng.rand(4, 32, 32, 3).astype(np.float32)
+    b = rng.rand(4, 16, 16, 3).astype(np.float32)
+    m, = ImageMaximumNode().imagemaximum(a, b)
+    assert m.shape == a.shape and (m >= a).all()
+    c, = ImageCollectNode().imagecollect(a, b)
+    assert len(c) == 8
+
+
+def test_trajectory_node():
+    from flexam_tpu.nodes import CreateTrajectoryBasedOnKJNodes
+    coords = str([{"x": 10, "y": 12}, {"x": 20, "y": 24}])
+    masks = np.zeros((2, 64, 96), np.float32)
+    img, = CreateTrajectoryBasedOnKJNodes().createtrajectory(coords, masks)
+    assert img.shape == (2, 64, 96, 3)
+    assert img.max() <= 1.0 and img[0, 12, 10].max() > 0.5
+
+
+def test_annotator_backend_registry_and_fixture(tmp_path):
+    from flexam_tpu.nodes import (VideoToDepth, VideoToTrackingPredict,
+                                  register_annotator_backend,
+                                  ANNOTATOR_BACKENDS)
+    rng = np.random.RandomState(0)
+    video = rng.rand(1, 3, 3, 16, 16).astype(np.float32)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="external model"):
+        VideoToDepth().process(video, video_length=3)
+    fx = str(tmp_path / "tracks.npz")
+    np.savez(fx, tracks=rng.rand(3, 7, 3).astype(np.float32),
+             visibility=np.ones((3, 7), bool))
+    tr, vis = VideoToTrackingPredict().process(video, fixture=fx)
+    assert tr.shape == (3, 7, 3) and vis.dtype == bool
+    try:
+        register_annotator_backend(
+            "depth", lambda v, **kw: {"depth": np.repeat(
+                v.mean(-1, keepdims=True), 3, -1)})
+        d, = VideoToDepth().process(video, video_length=3)
+        assert d.shape == video.shape
+    finally:
+        ANNOTATOR_BACKENDS.pop("depth", None)
+
+
+def test_load_config_node():
+    from flexam_tpu.nodes import LoadConfig
+    cfg, = LoadConfig().process("wan2.2/wan_civitai_5b_FlexAM.yaml")
+    assert cfg.dit.add_ref_conv and cfg.dit.add_cnn_block
+    assert cfg.vae.latent_channels == 48
+
+
+def test_sampler_lora_input(tmp_path):
+    """LoRA safetensors merged via the sampler input with the host-side
+    cache (`wan2_2_fun_flexam/nodes.py:595-649`)."""
+    from safetensors.numpy import save_file
+    pipe, = LoadFlexAMModel().loadmodel("nonexistent", random_init="tiny")
+    dim = pipe.cfg.dit.dim
+    rng = np.random.RandomState(3)
+    lora = {
+        "lora_unet_blocks_1_self_attn_q.lora_down.weight":
+            rng.randn(2, dim).astype(np.float32) * 0.02,
+        "lora_unet_blocks_1_self_attn_q.lora_up.weight":
+            rng.randn(dim, 2).astype(np.float32) * 0.02,
+        "lora_unet_blocks_1_self_attn_q.alpha": np.array(2.0, np.float32),
+    }
+    path = str(tmp_path / "l.safetensors")
+    save_file(lora, path)
+    w_before = np.asarray(pipe.models.dit_params["blocks"]["self_attn"]
+                          ["q"]["weight"][1]).copy()
+    t, h, w = 5, 32, 32
+    video = rng.rand(1, 3, t, h, w).astype(np.float32)
+    s = FlexAMV2VSampler()
+    out, = s.process(pipe, "x", video, video_length=t, base_resolution=32,
+                     steps=1, density=10.0, loras=[path],
+                     strength_model=[1.0], lora_cache=True)
+    assert np.isfinite(out).all()
+    w_merged = np.asarray(pipe.models.dit_params["blocks"]["self_attn"]
+                          ["q"]["weight"][1])
+    assert np.abs(w_merged - w_before).max() > 0
+    # cached pristine weights restore on a different lora set
+    out, = s.process(pipe, "x", video, video_length=t, base_resolution=32,
+                     steps=1, density=10.0, loras=[path],
+                     strength_model=[0.5], lora_cache=True)
+    w_half = np.asarray(pipe.models.dit_params["blocks"]["self_attn"]
+                        ["q"]["weight"][1])
+    np.testing.assert_allclose(w_half - w_before,
+                               (w_merged - w_before) * 0.5,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_workflow_jsons_reference_known_nodes():
+    import json
+    import os
+    wf_dir = os.path.join(os.path.dirname(__file__), "..",
+                          "flexam_tpu", "workflows")
+    builtin = {"VHS_LoadVideo", "VHS_VideoCombine", "LoadImage", "Note",
+               "PrimitiveNode"}
+    for f in os.listdir(wf_dir):
+        wf = json.load(open(os.path.join(wf_dir, f)))
+        for n in wf["nodes"]:
+            assert (n["type"] in NODE_CLASS_MAPPINGS
+                    or n["type"] in builtin), (f, n["type"])
+        ids = {n["id"] for n in wf["nodes"]}
+        for link in wf["links"]:
+            assert link[1] in ids and link[3] in ids
