@@ -168,12 +168,22 @@ class DeviceRasterizer:
         self._valid = valid
         self._pimg_cache: Dict[Tuple[int, bool], jnp.ndarray] = {}
 
+    # frames per rank_point_image launch: the scatter/pool transients are
+    # ~3 x chunk x H x W x 4 bytes — chunked so they stay ~180 MB next to
+    # the resident 5B weights on a 16 GB chip
+    frame_chunk = 32
+
     def _pimg(self, window: int, y_strict: bool) -> jnp.ndarray:
         key = (window, y_strict)
         if key not in self._pimg_cache:
-            self._pimg_cache[key] = rank_point_image(
-                self._pix, self._depth, self._valid,
+            c = self.frame_chunk
+            outs = [rank_point_image(
+                self._pix[a:a + c], self._depth[a:a + c],
+                self._valid[a:a + c],
                 self.height, self.width, window, y_strict)
+                for a in range(0, self.t, c)]
+            self._pimg_cache[key] = (outs[0] if len(outs) == 1
+                                     else jnp.concatenate(outs, axis=0))
         return self._pimg_cache[key]
 
     def tracking_video(self, normalize=False, dtype=jnp.float32) -> jnp.ndarray:
@@ -205,6 +215,28 @@ class DeviceRasterizer:
         return colorize(self._pimg(self.track_window, False),
                         jnp.asarray(self._depth_colors), True,
                         normalize, dtype)
+
+    # -- frame producers (for flexam_tpu.models.vae_stream
+    #    vae_encode_stream_fn: rasterize group-by-group so the full-res
+    #    video never materializes in HBM) --
+
+    def tracking_frame_fn(self, dtype=jnp.float32):
+        pimg = self._pimg(self.track_window, True)
+        colors = jnp.asarray(self._track_colors)
+        return lambda a, n: colorize(pimg[a:a + n], colors, False, True,
+                                     dtype)
+
+    def cos_frame_fn(self, level: int, dtype=jnp.float32):
+        pimg = self._pimg(self.cos_window, False)
+        colors = jnp.asarray(self._cos_colors[level])
+        return lambda a, n: colorize(pimg[a:a + n], colors, False, True,
+                                     dtype)
+
+    def depth_frame_fn(self, dtype=jnp.float32):
+        pimg = self._pimg(self.track_window, False)
+        colors = jnp.asarray(self._depth_colors)
+        return lambda a, n: colorize(pimg[a:a + n], colors[a:a + n], True,
+                                     True, dtype)
 
     def drop(self, window: int, y_strict: bool):
         """Free one cached rank image ([T,H,W] int32 ≈ 170 MB at flagship

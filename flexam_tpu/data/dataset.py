@@ -148,3 +148,103 @@ class ImageVideoControlDataset:
                 print(f"dataset: sample {idx} failed ({e}); resampling")
                 idx = int(self.rng.randint(0, len(self)))
         raise RuntimeError("too many consecutive bad samples")
+
+
+class ImageVideoDataset:
+    """Joint image + video dataset (the Fun-dataset family).
+
+    Behavioral reference: `FlexAM/data/dataset_image_video.py:336-513`
+    (`ImageVideoDataset`): annotation rows carry `type` in {image, video};
+    images are returned as 1-frame clips at `image_sample_size`, videos as
+    `video_sample_n_frames` clips at `video_sample_size`; optional random
+    inpaint masks (`get_random_mask`, non-image_start_only branch) and
+    per-video color jitter (`dataset_dasv2_enhanced.py:413-456`). More
+    relevant here than in the reference: this repo ships a working train
+    step (VERDICT r1 item 9), and batches must be type-homogeneous —
+    use `type_separated_batches` (the `ImageVideoSampler` semantics,
+    `dataset_image_video.py:260-306`)."""
+
+    def __init__(self, ann_path: str, data_root: Optional[str] = None,
+                 image_sample_size=(512, 512),
+                 video_sample_size=(512, 896), video_sample_n_frames=49,
+                 enable_inpaint: bool = True, enable_jitter: bool = False,
+                 seed: int = 0):
+        self.data_root = data_root or os.path.dirname(ann_path)
+        if ann_path.endswith(".json"):
+            with open(ann_path) as f:
+                self.dataset: List[Dict] = json.load(f)
+        else:
+            with open(ann_path) as f:
+                self.dataset = list(csv.DictReader(f))
+        self.image_sample_size = tuple(image_sample_size)
+        self.video_sample_size = tuple(video_sample_size)
+        self.n_frames = video_sample_n_frames
+        self.enable_inpaint = enable_inpaint
+        self.enable_jitter = enable_jitter
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def sample_type(self, idx: int) -> str:
+        return self.dataset[idx].get("type", "image")
+
+    def _path(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.data_root, p)
+
+    def get_batch(self, idx: int) -> Dict:
+        info = self.dataset[idx]
+        dtype_tag = info.get("type", "image")
+        if dtype_tag == "video":
+            arr = _read_video_cv2(self._path(info["file_path"]),
+                                  self.video_sample_size, self.n_frames,
+                                  fps=None)                     # [T,H,W,3] u8
+        else:
+            from PIL import Image
+            im = Image.open(self._path(info["file_path"])).convert("RGB")
+            im = im.resize((self.image_sample_size[1],
+                            self.image_sample_size[0]))
+            arr = np.asarray(im, np.uint8)[None]                # [1,H,W,3]
+        if self.enable_jitter:
+            from flexam_tpu.data.augment import video_color_jitter
+            arr = video_color_jitter(arr, rng=self.rng)
+        pixel = (arr.transpose(3, 0, 1, 2).astype(np.float32)
+                 / 255.0) * 2.0 - 1.0                           # [3,F,H,W]
+        sample = {"text": info.get("text", ""),
+                  "pixel_values": pixel,
+                  "data_type": dtype_tag}
+        if self.enable_inpaint:
+            f, h, w = pixel.shape[1], pixel.shape[2], pixel.shape[3]
+            m = get_random_mask((f, 1, h, w), self.rng,
+                                image_start_only=False)
+            sample["mask"] = m.astype(np.float32).transpose(1, 0, 2, 3)
+        return sample
+
+    def __getitem__(self, idx: int) -> Dict:
+        for _ in range(64):
+            try:
+                return self.get_batch(idx)
+            except Exception as e:
+                print(f"dataset: sample {idx} failed ({e}); resampling")
+                idx = int(self.rng.randint(0, len(self)))
+        raise RuntimeError("too many consecutive bad samples")
+
+
+def type_separated_batches(dataset: "ImageVideoDataset", batch_size: int,
+                           rng: Optional[np.random.RandomState] = None):
+    """Yield index batches that are homogeneous in sample type — the
+    `ImageVideoSampler` contract (`dataset_image_video.py:260-306`):
+    image and video samples never mix inside one batch (their tensor
+    shapes differ)."""
+    r = rng or np.random
+    order = r.permutation(len(dataset))
+    buckets: Dict[str, List[int]] = {"image": [], "video": []}
+    for idx in order:
+        kind = dataset.sample_type(int(idx))
+        buckets[kind].append(int(idx))
+        if len(buckets[kind]) == batch_size:
+            yield buckets[kind]
+            buckets[kind] = []
+    for kind, bucket in buckets.items():
+        if bucket:
+            yield bucket

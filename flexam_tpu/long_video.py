@@ -43,7 +43,8 @@ def generate_long_video(
             window = partial_video_length
 
         sample = generate_window(
-            start_frames=seed_frames, num_frames=window, **window_kwargs)
+            start_frames=seed_frames, num_frames=window,
+            frame_offset=init_frames, **window_kwargs)
         sample = np.array(sample, copy=True)
 
         if out is None:

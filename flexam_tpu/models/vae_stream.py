@@ -293,27 +293,35 @@ def _encode_group_jit(params, cfg, x, caches, first):
     return _encoder_group(params, cfg, x, caches, first)
 
 
-def vae_encode_streamed(params: dict, cfg: VAEConfig, video: jnp.ndarray,
-                        group_size: int = 8
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for `vae_encode` with bounded memory.
-    video: [B, 3, T, H, W] in [-1,1], T = 1+4k. group_size in PIXEL frames
-    (rounded to 4k; first group adds the +1 frame)."""
-    b = video.shape[0]
-    dt = video.dtype
-    x = video.transpose(0, 2, 3, 4, 1)
-    x = patchify(x, 2)
-    _, t, h2, w2, _ = x.shape
-    g = max(4, (group_size // 4) * 4)
+@jax.jit
+def _patchify_group_jit(chunk):
+    """[B, 3, g, H, W] -> patchified [B, g, H/2, W/2, 12]."""
+    return patchify(chunk.transpose(0, 2, 3, 4, 1), 2)
 
-    caches = _encoder_cache_shapes(cfg, b, h2, w2, dt)
+
+def vae_encode_stream_fn(params: dict, cfg: VAEConfig, frame_fn,
+                         num_frames: int, b: int = 1,
+                         group_size: int = 8
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streamed encode from a FRAME PRODUCER: `frame_fn(start, count)`
+    returns pixel frames [B, 3, count, H, W] in [-1, 1]. The full-res clip
+    never materializes in HBM — groups are produced (e.g. rasterized from
+    tracks on device, conditioning.rasterize_device), patchified, and
+    consumed by the causal encoder one group at a time. This is what lets
+    prepare run next to the resident 10 GB DiT on a 16 GB chip."""
+    g = max(4, (group_size // 4) * 4)
+    caches = None
     outs = []
     idx = 0
     first = True
-    while idx < t:
-        take = (min(g + 1, t) if first else min(g, t - idx))
-        y, caches = _encode_group_jit(params, cfg, x[:, idx:idx + take],
-                                      caches, first)
+    while idx < num_frames:
+        take = (min(g + 1, num_frames) if first
+                else min(g, num_frames - idx))
+        x = _patchify_group_jit(frame_fn(idx, take))
+        if caches is None:
+            caches = _encoder_cache_shapes(cfg, b, x.shape[2], x.shape[3],
+                                           x.dtype)
+        y, caches = _encode_group_jit(params, cfg, x, caches, first)
         outs.append(y)
         idx += take
         first = False
@@ -324,6 +332,18 @@ def vae_encode_streamed(params: dict, cfg: VAEConfig, video: jnp.ndarray,
     inv_std = params["latents_inv_std"].astype(mu.dtype)
     mu = (mu - mean) * inv_std
     return mu.transpose(0, 4, 1, 2, 3), log_var.transpose(0, 4, 1, 2, 3)
+
+
+def vae_encode_streamed(params: dict, cfg: VAEConfig, video: jnp.ndarray,
+                        group_size: int = 8
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for `vae_encode` with bounded memory.
+    video: [B, 3, T, H, W] in [-1,1], T = 1+4k. group_size in PIXEL frames
+    (rounded to 4k; first group adds the +1 frame)."""
+    b, _, t = video.shape[:3]
+    return vae_encode_stream_fn(
+        params, cfg, lambda a, n: video[:, :, a:a + n],
+        t, b=b, group_size=group_size)
 
 
 def vae_encode_mode_streamed(params, cfg, video, group_size: int = 8):

@@ -20,6 +20,42 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def ring_accumulate(q_l, k_l, v_l, axis: str, size: int,
+                    scale: float) -> jnp.ndarray:
+    """Exact cross-chip online-softmax over a named ring axis, inside a
+    shard_map body. q_l/k_l/v_l: local shards [B, Lq, H, D]; KV rotates
+    `size` hops with ppermute. Shared by ring SP and the Ulysses x ring
+    USP hybrid."""
+    qf = q_l.astype(jnp.float32) * scale
+    # derive carries from qf so they inherit shard_map's varying
+    # manual axes (fresh zeros are 'unvarying' and break the scan)
+    qbh = jnp.swapaxes(qf, 1, 2)            # [B, H, Lq, D]
+    m0 = qbh[..., :1] * 0.0 - 1e30
+    l0 = qbh[..., :1] * 0.0
+    acc0 = qbh * 0.0
+    perm = [(i, (i + 1) % size) for i in range(size)]
+
+    def step(carry, _):
+        k_blk, v_blk, m, l, acc = carry
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32))
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32))
+        k_nxt = jax.lax.ppermute(k_blk, axis, perm)
+        v_nxt = jax.lax.ppermute(v_blk, axis, perm)
+        return (k_nxt, v_nxt, m_new, l, acc), None
+
+    (_, _, _, l, acc), _ = jax.lax.scan(
+        step, (k_l, v_l, m0, l0, acc0), None, length=size)
+    out = acc / l
+    return jnp.einsum("bhqd->bqhd", out).astype(q_l.dtype)
+
+
 def make_ring_attention(
     mesh: Mesh,
     seq_axis: str = "sp",
@@ -39,37 +75,7 @@ def make_ring_attention(
                 q, k, v, k_len=k_len, scale=scale)
 
         def local(q_l, k_l, v_l):
-            # per-shard [B, Lq/sp, H, D]
-            b, lq, h, hd = q_l.shape
-            qf = q_l.astype(jnp.float32) * s
-            # derive carries from qf so they inherit shard_map's varying
-            # manual axes (fresh zeros are 'unvarying' and break the scan)
-            qbh = jnp.swapaxes(qf, 1, 2)            # [B, H, Lq, D]
-            m0 = qbh[..., :1] * 0.0 - 1e30
-            l0 = qbh[..., :1] * 0.0
-            acc0 = qbh * 0.0
-            idx = jax.lax.axis_index(seq_axis)
-            perm = [(i, (i + 1) % sp) for i in range(sp)]
-
-            def step(carry, _):
-                k_blk, v_blk, m, l, acc = carry
-                logits = jnp.einsum(
-                    "bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32))
-                m_cur = jnp.max(logits, axis=-1, keepdims=True)
-                m_new = jnp.maximum(m, m_cur)
-                p = jnp.exp(logits - m_new)
-                alpha = jnp.exp(m - m_new)
-                l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                acc = acc * alpha + jnp.einsum(
-                    "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32))
-                k_nxt = jax.lax.ppermute(k_blk, seq_axis, perm)
-                v_nxt = jax.lax.ppermute(v_blk, seq_axis, perm)
-                return (k_nxt, v_nxt, m_new, l, acc), None
-
-            (k_f, v_f, m, l, acc), _ = jax.lax.scan(
-                step, (k_l, v_l, m0, l0, acc0), None, length=sp)
-            out = acc / l
-            return jnp.einsum("bhqd->bqhd", out).astype(q_l.dtype)
+            return ring_accumulate(q_l, k_l, v_l, seq_axis, sp, s)
 
         spec = P(batch_axis, seq_axis, None, None)
         return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),

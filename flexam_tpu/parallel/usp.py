@@ -1,0 +1,90 @@
+"""USP: Ulysses x ring hybrid sequence parallelism.
+
+Behavioral reference: the reference exposes `ulysses_degree x ring_degree`
+(`ui/controller.py:63,89-95`, `set_multi_gpus_devices`) through xDiT's
+`xFuserLongContextAttention` — the two schedules COMPOSE: the sequence
+axis is factored over two mesh axes, heads are exchanged within each
+Ulysses group (all-to-all), and KV shards rotate around the ring axis
+between groups. The released repo ships only the interface (FlexAM/dist
+absent, SURVEY.md §2.5).
+
+TPU-native layout: tokens sharded over ("ring", "ulysses") jointly
+(ring-major, so each ring rank holds a contiguous L/ring slice after the
+Ulysses gather). Inside one shard_map:
+
+  [B, L/(r*u), H, D]
+    -- all_to_all over ulysses (heads<->seq) --> [B, L/r, H/u, D]
+    -- ring_accumulate over ring (ppermute KV, online softmax) -->
+    -- all_to_all back --> [B, L/(r*u), H, D]
+
+The ulysses all-to-alls ride the fast inner ICI dimension; the ring hops
+can span the slower outer dimension — the same reason xDiT composes them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flexam_tpu.core.attention import attention as default_attention
+from flexam_tpu.parallel.ring import ring_accumulate
+
+
+def make_usp_attention(
+    mesh: Mesh,
+    ulysses_axis: str = "sp",
+    ring_axis: str = "ring",
+    batch_axis: Optional[str] = "dp",
+    inner: Callable = default_attention,
+) -> Callable:
+    """attn_fn(q, k, v, k_len=None, scale=None) for `dit_forward`, tokens
+    sharded over ring_axis x ulysses_axis. num_heads must be divisible by
+    the ulysses degree."""
+    u = mesh.shape[ulysses_axis]
+    r = mesh.shape[ring_axis]
+    token_spec = P(batch_axis, (ring_axis, ulysses_axis), None, None)
+
+    def attn(q, k, v, k_len=None, scale=None):
+        d = q.shape[-1]
+        s = float(scale) if scale is not None else d ** -0.5
+        b, lq, h, _ = q.shape
+        lk = k.shape[1]
+
+        if lq != lk:
+            # cross-attention: kv replicated, tokens stay sharded
+            def local_cross(q_l, k_r, v_r):
+                return inner(q_l, k_r, v_r, k_len=None, scale=s)
+            kvspec = P(batch_axis, None, None, None)
+            return shard_map(local_cross, mesh=mesh,
+                             in_specs=(token_spec, kvspec, kvspec),
+                             out_specs=token_spec)(q, k, v)
+
+        assert h % u == 0, (h, u)
+
+        def local(q_l, k_l, v_l):
+            if u > 1:
+                # heads<->seq exchange within the ulysses group
+                q_l = jax.lax.all_to_all(q_l, ulysses_axis, split_axis=2,
+                                         concat_axis=1, tiled=True)
+                k_l = jax.lax.all_to_all(k_l, ulysses_axis, split_axis=2,
+                                         concat_axis=1, tiled=True)
+                v_l = jax.lax.all_to_all(v_l, ulysses_axis, split_axis=2,
+                                         concat_axis=1, tiled=True)
+            if r > 1:
+                o = ring_accumulate(q_l, k_l, v_l, ring_axis, r, s)
+            else:
+                o = inner(q_l, k_l, v_l, k_len=None, scale=s)
+            if u > 1:
+                o = jax.lax.all_to_all(o, ulysses_axis, split_axis=1,
+                                       concat_axis=2, tiled=True)
+            return o
+
+        return shard_map(local, mesh=mesh,
+                         in_specs=(token_spec, token_spec, token_spec),
+                         out_specs=token_spec)(q, k, v)
+
+    return attn

@@ -390,29 +390,23 @@ class FlexAMGenerationPipeline:
     # -- device-side conditioning (tracks cross the tunnel, videos don't) ----
 
     @partial(jax.jit, static_argnums=(0, 2))
-    def _tiled_first_masked_jit(self, first, t):
-        """full_edit image-to-video conditioning built ON DEVICE from the
-        single first frame (`get_image_to_video_latent` semantics,
-        `utils.py:303-397`): video = first frame tiled, mask = frame 0
-        known / rest generate, so masked = [first*2-1, zeros...]."""
+    def _first_masked_group_jit(self, first, n):
+        """full_edit image-to-video masked-video GROUP 0 built ON DEVICE
+        from the single first frame (`get_image_to_video_latent`
+        semantics, `utils.py:303-397`): video = first frame tiled, mask =
+        frame 0 known / rest generate, so masked = [first*2-1, zeros...]."""
         b, c, _, h, w = first.shape
         f0 = (first.astype(jnp.float32) * 2.0 - 1.0).astype(self.compute_dtype)
-        masked = jnp.concatenate(
-            [f0, jnp.zeros((b, c, t - 1, h, w), self.compute_dtype)], axis=2)
-        # the persistent mask rides as uint8 (HBM is the scarce resource
-        # next to the resident 5B weights); consumers upcast in-jit
-        mask01 = jnp.concatenate(
-            [jnp.zeros((b, 1, 1, h, w), jnp.uint8),
-             jnp.ones((b, 1, t - 1, h, w), jnp.uint8)], axis=2)
-        return masked, mask01
+        return jnp.concatenate(
+            [f0, jnp.zeros((b, c, n - 1, h, w), self.compute_dtype)], axis=2)
 
     @partial(jax.jit, static_argnums=(0,))
-    def _masked_from_video_jit(self, video, mask_u8):
-        """(video*2-1) * (mask<0.5) on device (`pipeline...FlexAM.py:662`);
-        video ships fp16, mask uint8 — one crossing each."""
+    def _masked_group_jit(self, video, mask_u8):
+        """(video*2-1) * (mask<0.5) for one frame group
+        (`pipeline...FlexAM.py:662`); video resides fp16, mask uint8."""
         v = video.astype(jnp.float32) * 2.0 - 1.0
         keep = (mask_u8 < 1).astype(jnp.float32)
-        return (v * keep).astype(self.compute_dtype), mask_u8
+        return (v * keep).astype(self.compute_dtype)
 
     def prepare_conditioning_from_tracks(
         self,
@@ -453,7 +447,10 @@ class FlexAMGenerationPipeline:
             cos_level=cos_level, raster_mask=raster_mask,
             generate_type=generate_type, rng=rng)
 
-        # masked-video stream + mask, fully on device
+        # masked-video stream + mask: only the first frame (full_edit)
+        # or the real video+mask (fg/bg) ever reach the device; the
+        # masked clip itself is produced group-by-group below
+        video_dev = mask_dev = ff = None
         if video is None:
             if first_frame is None:
                 raise ValueError("track conditioning needs video= or "
@@ -461,31 +458,55 @@ class FlexAMGenerationPipeline:
             ff = jnp.asarray(np.asarray(first_frame, np.float16))
             if ff.ndim == 4:
                 ff = ff[:, :, None]
-            masked, mask01 = self._tiled_first_masked_jit(ff, t)
+            # mask = frame 0 known / rest generate (uint8 resident)
+            mask01 = jnp.concatenate(
+                [jnp.zeros((1, 1, 1, height, width), jnp.uint8),
+                 jnp.ones((1, 1, t - 1, height, width), jnp.uint8)], axis=2)
             have_mask = True
+
+            def masked_fn(a, n):
+                if a == 0:
+                    return self._first_masked_group_jit(ff, n)
+                return jnp.zeros((1, 3, n, height, width), dt)
         else:
+            video_dev = jnp.asarray(np.asarray(video, np.float16))
             if mask_video is not None:
-                mask_u8 = jnp.asarray(
+                mask01 = jnp.asarray(
                     (np.asarray(mask_video, np.float32) > 0.5
                      ).astype(np.uint8))
-                masked, mask01 = self._masked_from_video_jit(
-                    jnp.asarray(np.asarray(video, np.float16)), mask_u8)
                 have_mask = True
+
+                def masked_fn(a, n):
+                    return self._masked_group_jit(
+                        video_dev[:, :, a:a + n], mask01[:, :, a:a + n])
             else:
-                masked = jnp.zeros(video.shape, dt)
-                mask01 = jnp.ones((1, 1, t, height, width), jnp.float32)
+                mask01 = jnp.ones((1, 1, t, height, width), jnp.uint8)
                 have_mask = False
 
-        # encode streams one at a time: each full-res video exists only
-        # transiently in HBM next to the resident DiT weights; buffers
-        # (mask, rank images) are freed as soon as their consumers ran
-        videos = {}
+                def masked_fn(a, n):
+                    return jnp.zeros((1, 3, n, height, width), dt)
 
-        def enc(stream, name=None):
+        # encode streams via frame producers: the full-res clips never
+        # materialize next to the resident DiT weights; rank images are
+        # freed as soon as their consumers ran
+        from flexam_tpu.models.vae_stream import vae_encode_stream_fn
+        videos = {}
+        use_sharded = getattr(self, "vae_mesh", None) is not None
+
+        def enc(frame_fn, name=None):
             if return_videos and name is not None:
-                videos[name] = np.asarray(
-                    (stream.astype(jnp.float32) + 1.0) / 2.0)
-            return self._encode_clips(stream)
+                chunks = [np.asarray(frame_fn(a, min(8, t - a)))
+                          for a in range(0, t, 8)]
+                videos[name] = (np.concatenate(chunks, axis=2)
+                                .astype(np.float32) + 1.0) / 2.0
+            if use_sharded or not self._use_streaming(1, t, height, width):
+                clip = jnp.concatenate(
+                    [frame_fn(0, min(9, t))]
+                    + [frame_fn(a, min(8, t - a))
+                       for a in range(9, t, 8)], axis=2)
+                return self._encode_clips(clip)
+            return vae_encode_stream_fn(
+                self.models.vae_params, cfgv, frame_fn, t)[0]
 
         if have_mask:
             mask_latents, mask_ti2v = self._mask_latents_jit(
@@ -493,22 +514,17 @@ class FlexAMGenerationPipeline:
         else:
             mask_latents = jnp.zeros((1, 4, lt, lh, lw), jnp.float32)
             mask_ti2v = jnp.ones((1, 1, lt, lh, lw), jnp.float32)
-        del mask01
 
-        masked_video_latents = enc(masked)
-        del masked
+        masked_video_latents = enc(masked_fn)
         if not have_mask:
             masked_video_latents = jnp.zeros_like(masked_video_latents)
-        control_latents = enc(
-            rast.tracking_video(normalize=True, dtype=dt), "tracking")
+        control_latents = enc(rast.tracking_frame_fn(dt), "tracking")
         rast.drop(rast.track_window, True)
-        depth_latents = enc(
-            rast.depth_video(normalize=True, dtype=dt), "depth")
+        depth_latents = enc(rast.depth_frame_fn(dt), "depth")
         cos_lat_list = []
         for lvl in range(rast.num_cos_levels):
-            cos_lat_list.append(enc(
-                rast.cos_video(lvl, normalize=True, dtype=dt),
-                f"cos_{lvl}"))
+            cos_lat_list.append(enc(rast.cos_frame_fn(lvl, dt),
+                                    f"cos_{lvl}"))
         rast.free()
         cos_latents = (jnp.concatenate(cos_lat_list, axis=1)
                        if cos_lat_list else None)
@@ -828,7 +844,16 @@ class FlexAMGenerationPipeline:
         if offload_dit_for_decode:
             self.offload_dit_to_host()
         out = self._decode(latents)
-        out = np.asarray((out.astype(jnp.float32) + 1.0) / 2.0)
+        # fetch as uint8: the tunnel moves tens of MB/s, and the video is
+        # written to 8-bit media anyway (fp32 fetch of a flagship clip is
+        # 510 MB ≈ half a minute; uint8 is 127 MB)
+        out = self._to_u8_jit(out)
+        out = np.asarray(out).astype(np.float32) / 255.0
         if offload_dit_for_decode:
             self.restore_dit()
         return out
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _to_u8_jit(self, out):
+        x = (out.astype(jnp.float32) + 1.0) * (255.0 / 2.0)
+        return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)

@@ -40,6 +40,15 @@ class GenerationServer:
         self.fps = fps
         self.lock = threading.Lock()
 
+    # full Gradio-equivalent parameter surface
+    # (`ui/wan2_2_fun_ui.py:178-399`): sampler knobs, TeaCache, cfg-skip,
+    # RIFLEx, long-video sliding windows — plus the device-rasterize
+    # tracks path (tracks [T,N,3] instead of full control videos).
+    SCALAR_KEYS = ("num_inference_steps", "guidance_scale", "seed",
+                   "density", "scheduler_type", "cfg_skip_ratio",
+                   "teacache_thresh", "teacache_skip_start",
+                   "negative_prompt")
+
     def handle(self, payload: dict) -> dict:
         kwargs = {}
         for key in ("video", "mask_video", "control_video", "depth_video",
@@ -50,14 +59,99 @@ class GenerationServer:
             kwargs["cos_videos"] = [
                 _decode_array(o).astype(np.float32)
                 for o in payload["cos_videos"]]
-        for key in ("num_inference_steps", "guidance_scale", "seed",
-                    "density", "scheduler_type", "cfg_skip_ratio",
-                    "teacache_thresh", "negative_prompt"):
+        for key in self.SCALAR_KEYS:
             if key in payload:
                 kwargs[key] = payload[key]
+
+        riflex_k = payload.get("riflex_k")
         with self.lock:   # serialize chip access
-            out = self.pipe.generate(prompt=payload["prompt"], **kwargs)
-        return {"video": _encode_array(out), "fps": self.fps}
+            if riflex_k:
+                frames = (kwargs.get("video").shape[2]
+                          if kwargs.get("video") is not None
+                          else payload.get("video_length", 49))
+                lat_frames = ((frames - 1)
+                              // self.pipe.cfg.vae.temporal_compression_ratio
+                              + 1)
+                self.pipe.enable_riflex(
+                    k=int(riflex_k),
+                    L_test=int(payload.get("riflex_L_test", lat_frames)))
+            try:
+                if "tracks" in payload:
+                    out = self._generate_from_tracks(payload, kwargs)
+                elif "partial_video_length" in payload:
+                    out = self._generate_long(payload, kwargs)
+                else:
+                    out = self.pipe.generate(prompt=payload["prompt"],
+                                             **kwargs)
+            finally:
+                if riflex_k:
+                    self.pipe.disable_riflex()
+        return {"video": _encode_array(
+            (np.asarray(out) * 255).astype(np.uint8)), "fps": self.fps}
+
+    def _generate_from_tracks(self, payload, kwargs):
+        """Tracks cross the wire (KBs) instead of rasterized videos:
+        the device-side rasterizer builds conditioning on-chip."""
+        tracks = _decode_array(payload["tracks"]).astype(np.float32)
+        vis = (_decode_array(payload["visibility"]).astype(bool)
+               if "visibility" in payload else None)
+        first = (_decode_array(payload["first_frame"]).astype(np.float32)
+                 if "first_frame" in payload else None)
+        h = int(payload.get("height", 512))
+        w = int(payload.get("width", 896))
+        cond = self.pipe.prepare_conditioning_from_tracks(
+            tracks, vis, h, w,
+            point_wise=int(payload.get("point_wise", 4)),
+            generate_type=payload.get("generate_type", "full_edit"),
+            video=kwargs.get("video"), first_frame=first,
+            mask_video=kwargs.get("mask_video"),
+            ref_image=kwargs.get("ref_image"))
+        gen_kwargs = {k: v for k, v in kwargs.items()
+                      if k in self.SCALAR_KEYS}
+        neg = gen_kwargs.pop("negative_prompt", None)
+        context = self.pipe.encode_prompt(
+            payload["prompt"], neg,
+            do_cfg=gen_kwargs.get("guidance_scale", 6.0) > 1.0)
+        return self.pipe.generate_from_cond(cond, context, **gen_kwargs)
+
+    def _generate_long(self, payload, kwargs):
+        """Sliding-window long video (`ui/controller.py:324-325`,
+        partial_video_length/overlap_video_length)."""
+        from flexam_tpu.long_video import (generate_long_video,
+                                           window_inputs_from_seed)
+        total = int(payload["video_length"])
+        partial = int(payload["partial_video_length"])
+        overlap = int(payload.get("overlap_video_length", 4))
+        controls = {k: kwargs.get(k) for k in
+                    ("control_video", "depth_video")}
+        cos = kwargs.get("cos_videos")
+        if kwargs.get("video") is not None:
+            h, w = kwargs["video"].shape[-2:]
+        elif controls["control_video"] is not None:
+            h, w = controls["control_video"].shape[-2:]
+        else:
+            h, w = int(payload.get("height", 512)), \
+                int(payload.get("width", 896))
+        gen_kwargs = {k: v for k, v in kwargs.items()
+                      if k in self.SCALAR_KEYS}
+
+        def window(start_frames=None, num_frames=None, frame_offset=0):
+            video, mask = window_inputs_from_seed(start_frames, num_frames,
+                                                  h, w)
+            sl = slice(frame_offset, frame_offset + num_frames)
+            win = {k: (v[:, :, sl] if v is not None else None)
+                   for k, v in controls.items()}
+            cw = [c[:, :, sl] for c in cos] if cos else None
+            return self.pipe.generate(
+                video, payload["prompt"], mask_video=mask,
+                control_video=win["control_video"],
+                depth_video=win["depth_video"], cos_videos=cw,
+                ref_image=kwargs.get("ref_image"), **gen_kwargs)
+
+        return generate_long_video(
+            window, total, partial, overlap,
+            temporal_compression=self.pipe.cfg.vae
+            .temporal_compression_ratio)
 
     def serve(self, port: int = 7860):
         server_ref = self
@@ -104,6 +198,18 @@ def main():
     p.add_argument("--random_init", type=str, default="tiny")
     p.add_argument("--checkpoint_path", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    # client-side generation knobs (`ui/wan2_2_fun_ui.py:178-399` surface)
+    p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--cfg", type=float, default=6.0)
+    p.add_argument("--seed", type=int, default=43)
+    p.add_argument("--scheduler", type=str, default=None)
+    p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
+    p.add_argument("--teacache_thresh", type=float, default=0.0)
+    p.add_argument("--riflex_k", type=int, default=0)
+    p.add_argument("--video_length", type=int, default=9)
+    p.add_argument("--sample_size", type=int, nargs=2, default=[32, 32])
+    p.add_argument("--partial_video_length", type=int, default=0)
+    p.add_argument("--overlap_video_length", type=int, default=4)
     args = p.parse_args()
 
     if args.host:
@@ -116,16 +222,29 @@ def main():
             random_init=args.random_init))
         GenerationServer(pipe).serve(args.port)
     elif args.client:
-        t, h, w = 9, 32, 32
+        t = args.video_length
+        h, w = args.sample_size
         rng = np.random.RandomState(0)
         payload = {
             "prompt": args.prompt,
             "video": _encode_array(rng.rand(1, 3, t, h, w)),
             "mask_video": _encode_array(np.ones((1, 1, t, h, w))),
             "control_video": _encode_array(rng.rand(1, 3, t, h, w)),
-            "num_inference_steps": 2,
+            "num_inference_steps": args.steps,
+            "guidance_scale": args.cfg,
+            "seed": args.seed,
+            "cfg_skip_ratio": args.cfg_skip_ratio,
+            "teacache_thresh": args.teacache_thresh,
             "density": 0.1,
+            "video_length": t,
         }
+        if args.scheduler:
+            payload["scheduler_type"] = args.scheduler
+        if args.riflex_k:
+            payload["riflex_k"] = args.riflex_k
+        if args.partial_video_length:
+            payload["partial_video_length"] = args.partial_video_length
+            payload["overlap_video_length"] = args.overlap_video_length
         out = post_generate(payload, args.port)
         if "error" in out:
             raise SystemExit(f"server error: {out['error']}")

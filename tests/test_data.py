@@ -125,3 +125,90 @@ def test_reference_yaml_config_loader():
     assert c.vae.spatial_compression_ratio == 16
     assert c.t5.dim == 4096 and c.t5.num_layers == 24
     assert c.scheduler.shift == 5.0
+
+
+# ---------------------------------------------------------------------------
+# Round-2: color jitter parity + joint image/video dataset (VERDICT item 9)
+# ---------------------------------------------------------------------------
+
+def _reference_jitter_namespace():
+    """Exec the self-contained color-jitter slice of
+    dataset_dasv2_enhanced.py (:388-456) — the module itself imports
+    torch/decord, but these functions only need numpy/cv2/random."""
+    import random
+    import cv2
+    src = open("/root/reference/FlexAM/data/dataset_dasv2_enhanced.py"
+               ).read().splitlines()
+    block = "\n".join(src[387:456])
+    ns = {"np": np, "cv2": cv2, "random": random}
+    exec(block, ns)
+    return ns
+
+
+def test_color_jitter_parity_vs_reference():
+    from flexam_tpu.data.augment import (adjust_brightness, adjust_contrast,
+                                         adjust_hue, adjust_saturation)
+    ref = _reference_jitter_namespace()
+    rng = np.random.RandomState(0)
+    video = rng.randint(0, 256, (3, 24, 32, 3), np.uint8)
+    for name, ours, factor in [
+            ("adjust_brightness", adjust_brightness, 1.3),
+            ("adjust_contrast", adjust_contrast, 0.7),
+            ("adjust_saturation", adjust_saturation, 1.4),
+            ("adjust_hue", adjust_hue, 0.07)]:
+        theirs = np.stack([ref[name](f, factor) for f in video])
+        np.testing.assert_array_equal(ours(video, factor), theirs,
+                                      err_msg=name)
+
+
+def test_video_color_jitter_shared_factors():
+    from flexam_tpu.data.augment import video_color_jitter
+    rng = np.random.RandomState(1)
+    video = np.repeat(rng.randint(0, 256, (1, 16, 16, 3), np.uint8),
+                      4, axis=0)
+    out = video_color_jitter(video, rng=np.random.RandomState(2))
+    assert out.shape == video.shape and out.dtype == np.uint8
+    # identical frames stay identical: one factor set for the whole video
+    for f in range(1, 4):
+        np.testing.assert_array_equal(out[f], out[0])
+
+
+def test_image_video_dataset_and_type_batches(tmp_path):
+    import cv2
+    from PIL import Image
+    from flexam_tpu.data.dataset import (ImageVideoDataset,
+                                         type_separated_batches)
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(2):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.randint(0, 255, (20, 20, 3), np.uint8)
+                        ).save(str(p))
+        rows.append({"file_path": p.name, "text": f"img {i}",
+                     "type": "image"})
+    for i in range(2):
+        p = str(tmp_path / f"vid{i}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 8,
+                             (32, 32))
+        for _ in range(9):
+            wr.write(rng.randint(0, 255, (32, 32, 3), np.uint8))
+        wr.release()
+        rows.append({"file_path": os.path.basename(p), "text": f"vid {i}",
+                     "type": "video"})
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps(rows))
+
+    ds = ImageVideoDataset(str(ann), image_sample_size=(16, 16),
+                           video_sample_size=(32, 32),
+                           video_sample_n_frames=9, enable_jitter=True)
+    img = ds[0]
+    assert img["pixel_values"].shape == (3, 1, 16, 16)
+    assert img["data_type"] == "image" and img["mask"].shape == (1, 1, 16, 16)
+    vid = ds[2]
+    assert vid["pixel_values"].shape == (3, 9, 32, 32)
+    assert vid["data_type"] == "video"
+
+    for batch in type_separated_batches(ds, 2,
+                                        rng=np.random.RandomState(3)):
+        kinds = {ds.sample_type(i) for i in batch}
+        assert len(kinds) == 1, kinds

@@ -18,7 +18,7 @@ def test_window_inputs_from_seed():
 def test_generate_long_video_composition():
     calls = []
 
-    def fake_window(start_frames=None, num_frames=None, **kw):
+    def fake_window(start_frames=None, num_frames=None, frame_offset=0, **kw):
         calls.append((None if start_frames is None
                       else start_frames.shape[2], num_frames))
         # frame value = global index, so the blend is checkable
@@ -62,7 +62,7 @@ def test_long_video_with_real_pipeline():
 
     h = w = 32
 
-    def window(start_frames=None, num_frames=None):
+    def window(start_frames=None, num_frames=None, frame_offset=0):
         video, mask = window_inputs_from_seed(start_frames, num_frames, h, w)
         return pipe.generate(video, "long video", mask_video=mask,
                              num_inference_steps=2, guidance_scale=6.0,

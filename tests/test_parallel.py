@@ -124,3 +124,94 @@ def test_sharded_vae_decode_parity(mesh):
     ref = np.asarray(vae_decode(params, cfg, z))
     out = np.asarray(vae_decode_sharded(params, cfg, z, mesh))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# USP: Ulysses x ring hybrid (reference ulysses_degree x ring_degree,
+# ui/controller.py:63,89-95; VERDICT r1 item 3)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def usp_mesh():
+    from jax.sharding import Mesh
+    dev = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    return Mesh(dev, ("dp", "ring", "sp"))
+
+
+def test_usp_self_attention_parity(usp_mesh):
+    from flexam_tpu.parallel.usp import make_usp_attention
+    rng = np.random.RandomState(1)
+    b, l, h, d = 2, 64, 4, 32
+    q = rng.randn(b, l, h, d).astype(np.float32)
+    k = rng.randn(b, l, h, d).astype(np.float32)
+    v = rng.randn(b, l, h, d).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    attn = make_usp_attention(usp_mesh, inner=xla_attention)
+    out = np.asarray(jax.jit(attn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_usp_cross_attention_parity(usp_mesh):
+    from flexam_tpu.parallel.usp import make_usp_attention
+    rng = np.random.RandomState(2)
+    b, l, lk, h, d = 2, 64, 16, 4, 32
+    q = rng.randn(b, l, h, d).astype(np.float32)
+    k = rng.randn(b, lk, h, d).astype(np.float32)
+    v = rng.randn(b, lk, h, d).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    attn = make_usp_attention(usp_mesh, inner=xla_attention)
+    out = np.asarray(jax.jit(attn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_usp_degenerate_axes_match_pure_schedules(usp_mesh):
+    """ring=1 reduces to Ulysses; ulysses=1 reduces to ring — via meshes
+    where one axis has size 1."""
+    from jax.sharding import Mesh
+    from flexam_tpu.parallel.usp import make_usp_attention
+    rng = np.random.RandomState(3)
+    b, l, h, d = 2, 64, 4, 32
+    q = rng.randn(b, l, h, d).astype(np.float32)
+    k = rng.randn(b, l, h, d).astype(np.float32)
+    v = rng.randn(b, l, h, d).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    dev = np.asarray(jax.devices()[:8])
+    for shape, axes in [((2, 1, 4), ("dp", "ring", "sp")),
+                        ((2, 4, 1), ("dp", "ring", "sp"))]:
+        m = Mesh(dev.reshape(shape), axes)
+        out = np.asarray(jax.jit(make_usp_attention(
+            m, inner=xla_attention))(q, k, v))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=str(shape))
+
+
+def test_usp_inside_dit_forward(usp_mesh):
+    """Full DiT forward with the USP attn_fn on the 2x2x2 mesh matches the
+    single-device forward."""
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import dit_forward, init_dit_params
+    from flexam_tpu.parallel.usp import make_usp_attention
+
+    cfg = tiny_test_config().dit
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    b, c, f, h, w = 2, cfg.out_dim, 2, 4, 4
+    x = rng.randn(b, c, f, h, w).astype(np.float32)
+    y = rng.randn(b, 2 * c + 4, f, h, w).astype(np.float32)
+    add = rng.randn(b, 5 * c, f, h, w).astype(np.float32)
+    ref_img = rng.randn(b, c, h, w).astype(np.float32)
+    t = np.full((b,), 500.0, np.float32)
+    ctx = rng.randn(b, cfg.text_len, cfg.text_dim).astype(np.float32) * .1
+    dens = np.full((b,), 0.1, np.float32)
+
+    base = dit_forward(params, cfg, x, t, ctx, density=dens, y=y,
+                       additional_control=add, full_ref=ref_img)
+    attn = make_usp_attention(usp_mesh, inner=xla_attention)
+    out = dit_forward(params, cfg, x, t, ctx, density=dens, y=y,
+                      additional_control=add, full_ref=ref_img,
+                      attn_fn=attn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)

@@ -29,3 +29,90 @@ def test_handler_runs_pipeline(monkeypatch):
     video = _decode_array(out["video"])
     assert video.shape == (1, 3, 2, 8, 8)
     assert out["fps"] == 16
+
+
+# ---------------------------------------------------------------------------
+# Round-2 serve parity (VERDICT r1 item 8): riflex / long-video / tracks
+# ---------------------------------------------------------------------------
+
+def _tiny_pipe():
+    import jax
+    import jax.numpy as jnp
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import init_dit_params
+    from flexam_tpu.models.t5 import init_t5_params
+    from flexam_tpu.models.vae import init_vae_params
+    from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
+    cfg = tiny_test_config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return FlexAMGenerationPipeline(FlexAMModels(
+        cfg=cfg, dit_params=init_dit_params(k1, cfg.dit, dtype=jnp.float32),
+        vae_params=init_vae_params(k2, cfg.vae),
+        t5_params=init_t5_params(k3, cfg.t5)), compute_dtype=jnp.float32)
+
+
+def test_serve_long_video_two_windows():
+    """Host/client long-video request: 13 frames as two 9-frame windows
+    with 4-frame overlap, through the REAL tiny pipeline."""
+    from flexam_tpu.serve import GenerationServer, _encode_array, \
+        _decode_array
+    srv = GenerationServer(_tiny_pipe())
+    rng = np.random.RandomState(0)
+    t, h, w = 13, 32, 32
+    out = srv.handle({
+        "prompt": "long",
+        "control_video": _encode_array(rng.rand(1, 3, t, h, w)),
+        "video_length": t,
+        "partial_video_length": 9,
+        "overlap_video_length": 4,
+        "num_inference_steps": 1,
+        "density": 0.1,
+    })
+    video = _decode_array(out["video"])
+    assert video.shape == (1, 3, t, h, w), video.shape
+    assert video.dtype == np.uint8
+
+
+def test_serve_riflex_and_scheduler_forwarding():
+    from flexam_tpu.serve import GenerationServer, _encode_array, \
+        _decode_array
+    pipe = _tiny_pipe()
+    srv = GenerationServer(pipe)
+    rng = np.random.RandomState(1)
+    t, h, w = 9, 32, 32
+    base_tables = np.asarray(pipe.rope_tables).copy()
+    out = srv.handle({
+        "prompt": "riflex",
+        "video": _encode_array(rng.rand(1, 3, t, h, w)),
+        "mask_video": _encode_array(np.ones((1, 1, t, h, w))),
+        "num_inference_steps": 1,
+        "scheduler_type": "flow_unipc",
+        "cfg_skip_ratio": 0.5,
+        "riflex_k": 2,
+        "density": 0.1,
+    })
+    assert _decode_array(out["video"]).shape == (1, 3, t, h, w)
+    # riflex disabled again after the request
+    np.testing.assert_array_equal(np.asarray(pipe.rope_tables), base_tables)
+
+
+def test_serve_tracks_path():
+    """Device-rasterize request: tracks + first frame cross the wire
+    instead of rasterized control videos."""
+    from flexam_tpu.serve import GenerationServer, _encode_array, \
+        _decode_array
+    srv = GenerationServer(_tiny_pipe())
+    rng = np.random.RandomState(2)
+    t, n, h, w = 9, 30, 32, 32
+    tracks = np.stack([rng.uniform(0, w, (t, n)), rng.uniform(0, h, (t, n)),
+                       rng.uniform(0.5, 3, (t, n))], -1).astype(np.float32)
+    out = srv.handle({
+        "prompt": "tracks",
+        "tracks": _encode_array(tracks),
+        "visibility": _encode_array(np.ones((t, n), bool)),
+        "first_frame": _encode_array(rng.rand(1, 3, 1, h, w)),
+        "height": h, "width": w,
+        "num_inference_steps": 1,
+        "density": 0.1,
+    })
+    assert _decode_array(out["video"]).shape == (1, 3, t, h, w)

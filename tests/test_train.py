@@ -63,3 +63,34 @@ def test_train_step_sharded():
     mu_q = opt_state[0].mu["blocks"]["self_attn"]["q"]["weight"]
     shapes = {s.data.shape for s in mu_q.addressable_shards}
     assert shapes == {(cfg.dit.num_layers, cfg.dit.dim // 2, cfg.dit.dim)}
+
+
+def test_train_step_mixed_image_video_batches(tmp_path):
+    """The joint dataset's two batch types both drive the train step
+    (images as 1-frame clips -> 1 latent frame; VERDICT r1 item 9)."""
+    import jax
+    import jax.numpy as jnp
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import init_dit_params
+    from flexam_tpu.train import make_train_state, train_step
+
+    cfg = tiny_test_config().dit
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tx, opt_state = make_train_state(params)
+    rng = np.random.RandomState(0)
+    c = cfg.out_dim
+    for lt in (1, 3):     # image batch (1 latent frame) / video batch
+        batch = {
+            "latents": rng.randn(2, c, lt, 4, 4).astype(np.float32),
+            "context": rng.randn(2, cfg.text_len,
+                                 cfg.text_dim).astype(np.float32) * 0.1,
+            "density": np.array([0.1, 0.1], np.float32),
+            "y": rng.randn(2, 2 * c + 4, lt, 4, 4).astype(np.float32),
+            "additional_control":
+                rng.randn(2, 5 * c, lt, 4, 4).astype(np.float32),
+            "full_ref": rng.randn(2, c, 4, 4).astype(np.float32),
+        }
+        params2, opt_state, loss = jax.jit(
+            lambda p, o, b, k: train_step(p, o, tx, cfg, b, k)
+        )(params, opt_state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss)), lt
