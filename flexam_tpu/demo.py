@@ -59,6 +59,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--density", type=int, default=10)
     p.add_argument("--dilation_pixels", type=int, default=200)
     p.add_argument("--tracks_npz", type=str, default=None)
+    p.add_argument("--poses_npz", type=str, default=None,
+                   help="recorded camera poses for --camera_motion: "
+                        "extrinsics[T,3,4](+intrinsics), VGGT "
+                        "pose_encoding[T,9], or Pi3 camera_poses[T,4,4] "
+                        "(flexam_tpu.perception.poses)")
     p.add_argument("--moge_npz", type=str, default=None)
     p.add_argument("--synthetic_tracks", action="store_true")
     p.add_argument("--guidance_scale", type=float, default=6.0)
@@ -238,10 +243,14 @@ def main(argv=None):
                 "(submodules/DELTA, empty in the reference snapshot too); "
                 "pass --tracks_npz or --synthetic_tracks")
         if args.camera_motion:
+            if (extr is None or intr is None) and args.poses_npz:
+                from flexam_tpu.perception import poses_npz_to_extri_intri
+                extr, intr = poses_npz_to_extri_intri(args.poses_npz, w, h)
             if extr is None or intr is None:
                 raise SystemExit("--camera_motion on the video path needs "
                                  "extrinsics/intrinsics in --tracks_npz "
-                                 "(VGGT outputs, `demo.py:310-325`)")
+                                 "or a --poses_npz fixture (VGGT/Pi3 "
+                                 "outputs, `demo.py:310-325`)")
             poses = cam.get_default_motion()
             world = cam.s2w_vggt(tracks, extr, intr)
             tracks = cam.w2s_vggt(

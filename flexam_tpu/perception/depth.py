@@ -1,0 +1,73 @@
+"""Depth-estimation backends for video-input conditioning.
+
+The reference runs UniDepth V2 / Depth-Anything-V2 / MoGe here — external
+CUDA checkpoints (empty submodules in the snapshot, SURVEY.md §2.6). This
+module gives the camera/tracking path a RUNNABLE seam:
+
+  * `register_depth_backend(name, fn)` — plug a real port (a JAX model or
+    a host-side ONNX session). fn(video [T,H,W,3] float 0..1, **kw) ->
+    depth [T,H,W] float (metric or relative);
+  * "onnx" — documented host-side hook: set FLEXAM_DEPTH_ONNX to an ONNX
+    depth model path (used only if onnxruntime is importable; it is NOT
+    bundled in this image);
+  * "luminance" — geometry-free placeholder (inverse luminance as
+    pseudo-depth) so smoke paths run end-to-end; clearly NOT a depth
+    estimate, prints a warning.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable, Dict
+
+import numpy as np
+
+DEPTH_BACKENDS: Dict[str, Callable] = {}
+
+
+def register_depth_backend(name: str, fn: Callable) -> None:
+    DEPTH_BACKENDS[name] = fn
+
+
+def _luminance_depth(video: np.ndarray, **kw) -> np.ndarray:
+    print("WARNING: 'luminance' pseudo-depth backend (placeholder; "
+          "register a real depth model for geometric accuracy)",
+          file=sys.stderr)
+    lum = video @ np.array([0.299, 0.587, 0.114], np.float32)
+    return 1.0 / (lum + 0.5)
+
+
+def _onnx_depth(video: np.ndarray, size: int = 384, **kw) -> np.ndarray:
+    """Host-side ONNX hook (e.g. a MiDaS/Depth-Anything export)."""
+    import cv2
+    import onnxruntime as ort   # gated: not bundled; user-provided
+    path = os.environ.get("FLEXAM_DEPTH_ONNX")
+    if not path:
+        raise RuntimeError("set FLEXAM_DEPTH_ONNX=<model.onnx>")
+    sess = ort.InferenceSession(path)
+    name = sess.get_inputs()[0].name
+    t, h, w, _ = video.shape
+    out = np.zeros((t, h, w), np.float32)
+    for i, frame in enumerate(video):
+        x = cv2.resize(frame, (size, size)).transpose(2, 0, 1)[None]
+        d = sess.run(None, {name: x.astype(np.float32)})[0][0]
+        out[i] = cv2.resize(np.squeeze(d), (w, h))
+    return out
+
+
+register_depth_backend("luminance", _luminance_depth)
+register_depth_backend("onnx", _onnx_depth)
+
+
+def estimate_depth(video: np.ndarray, backend: str = None, **kw
+                   ) -> np.ndarray:
+    """video [T,H,W,3] float 0..1 (or [1,3,T,H,W]) -> depth [T,H,W]."""
+    v = np.asarray(video, np.float32)
+    if v.ndim == 5:
+        v = v[0].transpose(1, 2, 3, 0)
+    backend = backend or os.environ.get("FLEXAM_DEPTH_BACKEND", "luminance")
+    if backend not in DEPTH_BACKENDS:
+        raise KeyError(f"unknown depth backend {backend!r}; "
+                       f"have {sorted(DEPTH_BACKENDS)}")
+    return np.asarray(DEPTH_BACKENDS[backend](v, **kw), np.float32)
