@@ -680,9 +680,10 @@ class FlexAMGenerationPipeline:
                     })
         return state[0]
 
-    # device-execution chunk length per launch (~2.6 s/step at the
-    # flagship scale; the tunnel watchdog kills executables > ~60 s)
-    steps_per_launch = 10
+    # device-execution chunk length per launch (~2.5 s/step at the
+    # flagship scale; the tunnel watchdog kills executables > ~60 s, so
+    # 14 steps ≈ 35 s keeps margin while amortizing per-launch overhead)
+    steps_per_launch = 14
 
     @partial(jax.jit,
              static_argnums=(0, 15, 16, 17, 18, 19, 20, 21, 22))
