@@ -49,7 +49,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--object_motion", type=str, default=None)
     p.add_argument("--object_mask", type=str, default=None)
     p.add_argument("--tracking_method", type=str, default="DELTA",
-                   choices=["DELTA", "moge"])
+                   choices=["DELTA", "moge", "flow"],
+                   help="flow = built-in optical-flow baseline tracker "
+                        "(no external models; perception/tracking.py)")
     p.add_argument("--sample_size", type=int, nargs=2, default=[512, 896])
     p.add_argument("--video_length", type=int, default=49)
     p.add_argument("--mask_path", type=str, default=None)
@@ -226,7 +228,17 @@ def main(argv=None):
             uvd.reshape(args.video_length, hh, ww, 3), moge_mask, h, w)
         point_wise = 2      # `demo.py:268` uses point_wise=2 on this path
     else:
-        if args.tracks_npz:
+        if args.tracking_method == "flow" and not args.tracks_npz:
+            if not is_video:
+                raise SystemExit("--tracking_method flow needs a video "
+                                 "--input_path")
+            from flexam_tpu.perception import track_video_flow
+            print("NOTE: built-in optical-flow baseline tracker "
+                  "(plug DELTA via --tracks_npz for learned tracking)")
+            tracks, vis = track_video_flow(input_video,
+                                           density=args.density)
+            extr = intr = None
+        elif args.tracks_npz:
             data = np.load(args.tracks_npz)
             tracks = np.asarray(data["tracks"], np.float32)
             vis = np.asarray(data["visibility"]).astype(bool)

@@ -459,7 +459,9 @@ class VideoToPose(_ExternalAnnotator):
 class VideoToTrackingPredict(_ExternalAnnotator):
     """`VideoToTrackingPredict` (`annotator/nodes.py:296-434`):
     DELTA DenseTrack3D + UniDepth dense 3D tracks, via backend/fixture
-    (keys 'tracks' [T,N,3] + 'visibility' [T,N])."""
+    (keys 'tracks' [T,N,3] + 'visibility' [T,N]); without either it
+    falls back to the built-in optical-flow baseline tracker
+    (flexam_tpu.perception.tracking)."""
     BACKEND = "tracking"
     RETURN_TYPES = ("TRACKING_DATA", "TRACKING_DATA")
     RETURN_NAMES = ("pred_tracks", "pred_visibility")
@@ -467,6 +469,12 @@ class VideoToTrackingPredict(_ExternalAnnotator):
     def process(self, input_video, density=10, video_length=81,
                 fixture=None):
         v = self._video(input_video, video_length)
+        if self.BACKEND not in ANNOTATOR_BACKENDS and fixture is None:
+            from flexam_tpu.perception import track_video_flow
+            print("VideoToTrackingPredict: built-in optical-flow baseline "
+                  "(register a DELTA backend for learned tracking)")
+            tracks, vis = track_video_flow(v, density=density)
+            return tracks, vis
         out = self._run(v, fixture, density=density)
         return (np.asarray(out["tracks"], np.float32),
                 np.asarray(out["visibility"]).astype(bool))

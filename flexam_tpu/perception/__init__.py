@@ -9,3 +9,4 @@ from flexam_tpu.perception.poses import (  # noqa: F401
     quat_to_rotmat,
     rotmat_to_quat,
 )
+from flexam_tpu.perception.tracking import track_video_flow  # noqa: F401

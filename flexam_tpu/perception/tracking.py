@@ -1,0 +1,105 @@
+"""Baseline dense 3D tracker (optical-flow chaining).
+
+The reference's tracks come from DELTA DenseTrack3D + UniDepth
+(`pipelines.py:1362-1499`) — external CUDA checkpoints whose submodules
+are EMPTY in the snapshot (SURVEY.md §2.6). This module makes video-input
+generation runnable out of the box with a classical baseline:
+
+  * a stride-`density` grid of query points on frame 0 (the same
+    subsampling DELTA's dense output gets, `pipelines.py:1461-1494`);
+  * per-frame dense optical flow (cv2 Farneback) chained to advance each
+    point, bilinear-sampled at the current position;
+  * visibility from forward<->backward flow consistency + bounds;
+  * per-frame depth from the pluggable depth registry
+    (flexam_tpu.perception.depth), sampled at the track positions.
+
+Quality is below a learned tracker — use `register_annotator_backend` /
+`--tracks_npz` to plug DELTA when its weights are available; this is the
+no-external-models fallback, selected with `--tracking_method flow`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _to_thwc(video: np.ndarray) -> np.ndarray:
+    v = np.asarray(video, np.float32)
+    if v.ndim == 5:
+        v = v[0].transpose(1, 2, 3, 0)
+    return v
+
+
+def _sample_bilinear(img: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """img [H, W(, C)], xy [N, 2] float -> [N(, C)] with border clamp."""
+    h, w = img.shape[:2]
+    x = np.clip(xy[:, 0], 0, w - 1.001)
+    y = np.clip(xy[:, 1], 0, h - 1.001)
+    x0 = x.astype(np.int32)
+    y0 = y.astype(np.int32)
+    fx = (x - x0)[:, None] if img.ndim == 3 else (x - x0)
+    fy = (y - y0)[:, None] if img.ndim == 3 else (y - y0)
+    a = img[y0, x0]
+    b = img[y0, x0 + 1]
+    c = img[y0 + 1, x0]
+    d = img[y0 + 1, x0 + 1]
+    return (a * (1 - fx) * (1 - fy) + b * fx * (1 - fy)
+            + c * (1 - fx) * fy + d * fx * fy)
+
+
+def track_video_flow(
+    video: np.ndarray,                 # [1,3,T,H,W] or [T,H,W,3] in [0,1]
+    density: int = 10,
+    depth_backend: Optional[str] = None,
+    fb_thresh: float = 1.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (tracks [T, N, 3] with (u, v, depth), visibility [T, N])
+    in the DELTA output format consumed by the rasterizers."""
+    import cv2
+
+    from flexam_tpu.perception.depth import estimate_depth
+
+    v = _to_thwc(video)
+    t, h, w, _ = v.shape
+    gray = [(f @ np.array([0.299, 0.587, 0.114], np.float32) * 255
+             ).astype(np.uint8) for f in v]
+
+    ys = np.arange(density // 2, h, density, dtype=np.float32)
+    xs = np.arange(density // 2, w, density, dtype=np.float32)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    pts = np.stack([gx.reshape(-1), gy.reshape(-1)], axis=1)   # [N,2]
+    n = len(pts)
+
+    depth = estimate_depth(v, backend=depth_backend)           # [T,H,W]
+
+    tracks = np.zeros((t, n, 3), np.float32)
+    vis = np.zeros((t, n), bool)
+    cur = pts.copy()
+    alive = np.ones(n, bool)
+    flow_kw = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                   poly_n=5, poly_sigma=1.2, flags=0)
+
+    for i in range(t):
+        inb = ((cur[:, 0] >= 0) & (cur[:, 0] < w)
+               & (cur[:, 1] >= 0) & (cur[:, 1] < h))
+        alive &= inb
+        tracks[i, :, :2] = cur
+        tracks[i, :, 2] = _sample_bilinear(depth[i], cur)
+        vis[i] = alive
+        if i == t - 1:
+            break
+        fwd = cv2.calcOpticalFlowFarneback(gray[i], gray[i + 1], None,
+                                           **flow_kw)
+        bwd = cv2.calcOpticalFlowFarneback(gray[i + 1], gray[i], None,
+                                           **flow_kw)
+        step = _sample_bilinear(fwd, cur)                      # [N,2]
+        nxt = cur + step
+        # forward-backward consistency: a point that lands somewhere the
+        # backward flow does not return from is occluded/lost
+        back = _sample_bilinear(bwd, nxt)
+        err = np.linalg.norm(step + back, axis=1)
+        alive &= err < fb_thresh
+        cur = nxt
+    return tracks, vis

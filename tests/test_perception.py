@@ -138,3 +138,47 @@ def test_demo_camera_mode_from_poses_fixture(tmp_path):
           "--camera_motion", "trans 0 0 0.2", "--output_dir", out])
     import os
     assert os.path.exists(os.path.join(out, "result.mp4"))
+
+
+def test_flow_tracker_recovers_translation():
+    """A square translating 2 px/frame: chained Farneback flow should
+    track it within ~1 px/frame drift."""
+    from flexam_tpu.perception import track_video_flow
+    T, H, W = 6, 64, 64
+    video = np.zeros((T, H, W, 3), np.float32)
+    rng = np.random.RandomState(0)
+    tex = rng.rand(12, 12, 3).astype(np.float32)
+    for t in range(T):
+        x = 10 + 2 * t
+        video[t, 20:32, x:x + 12] = tex
+    tracks, vis = track_video_flow(video, density=4)
+    assert tracks.shape[0] == T and vis.shape == tracks.shape[:2]
+    # pick points starting inside the square
+    inside = ((tracks[0, :, 0] >= 12) & (tracks[0, :, 0] <= 20)
+              & (tracks[0, :, 1] >= 22) & (tracks[0, :, 1] <= 30))
+    assert inside.sum() >= 2
+    moved = tracks[-1, inside, 0] - tracks[0, inside, 0]
+    expected = 2.0 * (T - 1)
+    assert np.median(moved) > expected * 0.5, np.median(moved)
+    assert (tracks[:, :, 2] > 0).all()     # depth channel populated
+
+
+def test_demo_flow_tracking_mode(tmp_path):
+    """Video-input generation with NO external models and NO fixtures:
+    --tracking_method flow end to end."""
+    from flexam_tpu.demo import main
+    from flexam_tpu.utils.media import save_video
+    import os
+    rng = np.random.RandomState(1)
+    T, H, W = 9, 32, 32
+    base = rng.rand(1, 3, 1, H, W).astype(np.float32)
+    video = np.tile(base, (1, 1, T, 1, 1))
+    video_path = str(tmp_path / "in.mp4")
+    save_video(video, video_path, fps=8)
+    out = str(tmp_path / "out")
+    main(["--prompt", "flow", "--platform", "cpu", "--random_init", "tiny",
+          "--sample_size", str(H), str(W), "--video_length", str(T),
+          "--num_inference_steps", "1", "--input_path", video_path,
+          "--tracking_method", "flow", "--density", "8",
+          "--output_dir", out])
+    assert os.path.exists(os.path.join(out, "result.mp4"))
