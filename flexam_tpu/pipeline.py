@@ -488,25 +488,48 @@ class FlexAMGenerationPipeline:
 
         # encode streams via frame producers: the full-res clips never
         # materialize next to the resident DiT weights; rank images are
-        # freed as soon as their consumers ran
+        # freed as soon as their consumers ran. prepare_encode_batch
+        # stacks streams on the encoder batch axis (activation memory
+        # scales with it — 2 fits next to the resident 5B on 16 GB).
         from flexam_tpu.models.vae_stream import vae_encode_stream_fn
         videos = {}
         use_sharded = getattr(self, "vae_mesh", None) is not None
+        ebatch = max(1, int(getattr(self, "prepare_encode_batch", 1)))
 
-        def enc(frame_fn, name=None):
-            if return_videos and name is not None:
-                chunks = [np.asarray(frame_fn(a, min(8, t - a)))
-                          for a in range(0, t, 8)]
-                videos[name] = (np.concatenate(chunks, axis=2)
-                                .astype(np.float32) + 1.0) / 2.0
+        def enc_group(fns, names):
+            if return_videos:
+                for fn, name in zip(fns, names):
+                    if name is None:
+                        continue
+                    chunks = [np.asarray(fn(a, min(8, t - a)))
+                              for a in range(0, t, 8)]
+                    videos[name] = (np.concatenate(chunks, axis=2)
+                                    .astype(np.float32) + 1.0) / 2.0
             if use_sharded or not self._use_streaming(1, t, height, width):
-                clip = jnp.concatenate(
-                    [frame_fn(0, min(9, t))]
-                    + [frame_fn(a, min(8, t - a))
-                       for a in range(9, t, 8)], axis=2)
-                return self._encode_clips(clip)
-            return vae_encode_stream_fn(
-                self.models.vae_params, cfgv, frame_fn, t)[0]
+                outs = []
+                for fn in fns:
+                    clip = jnp.concatenate(
+                        [fn(0, min(9, t))]
+                        + [fn(a, min(8, t - a))
+                           for a in range(9, t, 8)], axis=2)
+                    outs.append(self._encode_clips(clip))
+                return outs
+            if len(fns) == 1:
+                stacked = fns[0]
+            else:
+                def stacked(a, n_, fns=tuple(fns)):
+                    return jnp.concatenate([f(a, n_) for f in fns], axis=0)
+            mu = vae_encode_stream_fn(self.models.vae_params, cfgv,
+                                      stacked, t, b=len(fns))[0]
+            return [mu[i:i + 1] for i in range(len(fns))]
+
+        def enc_all(items):
+            outs = []
+            for i in range(0, len(items), ebatch):
+                chunk = items[i:i + ebatch]
+                outs.extend(enc_group([c[0] for c in chunk],
+                                      [c[1] for c in chunk]))
+            return outs
 
         if have_mask:
             mask_latents, mask_ti2v = self._mask_latents_jit(
@@ -515,17 +538,17 @@ class FlexAMGenerationPipeline:
             mask_latents = jnp.zeros((1, 4, lt, lh, lw), jnp.float32)
             mask_ti2v = jnp.ones((1, 1, lt, lh, lw), jnp.float32)
 
-        masked_video_latents = enc(masked_fn)
+        masked_video_latents = enc_all([(masked_fn, None)])[0]
         if not have_mask:
             masked_video_latents = jnp.zeros_like(masked_video_latents)
-        control_latents = enc(rast.tracking_frame_fn(dt), "tracking")
-        rast.drop(rast.track_window, True)
-        depth_latents = enc(rast.depth_frame_fn(dt), "depth")
-        cos_lat_list = []
-        for lvl in range(rast.num_cos_levels):
-            cos_lat_list.append(enc(rast.cos_frame_fn(lvl, dt),
-                                    f"cos_{lvl}"))
+        items = ([(rast.tracking_frame_fn(dt), "tracking"),
+                  (rast.depth_frame_fn(dt), "depth")]
+                 + [(rast.cos_frame_fn(lvl, dt), f"cos_{lvl}")
+                    for lvl in range(rast.num_cos_levels)])
+        lats = enc_all(items)
         rast.free()
+        control_latents, depth_latents = lats[0], lats[1]
+        cos_lat_list = lats[2:]
         cos_latents = (jnp.concatenate(cos_lat_list, axis=1)
                        if cos_lat_list else None)
 
@@ -646,6 +669,7 @@ class FlexAMGenerationPipeline:
         if resume is not None:
             state = tuple(jnp.asarray(s) for s in resume["sampler_state"])
             resume_step = int(resume["step"])
+        tea_computed = 0.0
         for a, b, use_dit2, with_cfg in segments:
             params = (self.models.dit2_params if use_dit2
                       else self.models.dit_params)
@@ -678,6 +702,18 @@ class FlexAMGenerationPipeline:
                         "step": c0 - 1,
                         "sampler_state": [np.asarray(s) for s in state],
                     })
+            if use_teacache and isinstance(tea, dict):
+                tea_computed += float(np.asarray(tea["computed"]))
+        # observability: TeaCache skip-rate diagnostics (the `computed`
+        # counter carried through the scan; reference prints nothing)
+        if use_teacache:
+            self.last_denoise_info = {
+                "steps": n,
+                "teacache_computed_forwards": tea_computed,
+                "teacache_skipped_forwards": float(n - tea_computed),
+            }
+        else:
+            self.last_denoise_info = {"steps": n}
         return state[0]
 
     # device-execution chunk length per launch (~2.5 s/step at the
