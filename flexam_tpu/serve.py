@@ -153,15 +153,89 @@ class GenerationServer:
             temporal_compression=self.pipe.cfg.vae
             .temporal_compression_ratio)
 
+    # minimal built-in web UI (the reference's Gradio layer is broken in
+    # its release — imports the absent FlexAM/dist; this one runs):
+    # generation form -> POST /generate -> inline video.
+    UI_HTML = """<!doctype html><html><head><title>FlexAM-TPU</title>
+<style>body{font-family:sans-serif;max-width:720px;margin:2em auto}
+label{display:block;margin-top:.6em}input,textarea,select{width:100%}
+video{width:100%;margin-top:1em}button{margin-top:1em;padding:.5em 2em}
+</style></head><body><h2>FlexAM-TPU generation</h2>
+<form id=f>
+<label>Prompt<textarea name=prompt rows=2>a cinematic scene</textarea></label>
+<label>Negative prompt<textarea name=negative_prompt rows=1></textarea></label>
+<label>Steps<input name=num_inference_steps type=number value=50></label>
+<label>CFG<input name=guidance_scale type=number step=0.1 value=6.0></label>
+<label>Seed<input name=seed type=number value=43></label>
+<label>Density (the sampler receives 1/density like the reference)<input name=density type=number step=0.001 value=0.0667></label>
+<label>Scheduler<select name=scheduler_type><option value="">default</option>
+<option>flow_match_euler</option><option>flow_unipc</option>
+<option>flow_dpm</option></select></label>
+<label>TeaCache threshold<input name=teacache_thresh type=number step=0.01 value=0></label>
+<label>CFG-skip ratio<input name=cfg_skip_ratio type=number step=0.05 value=0></label>
+<label>RIFLEx k (0=off)<input name=riflex_k type=number value=0></label>
+<label>Frames<input name=video_length type=number value=49></label>
+<label>Height<input name=height type=number value=512></label>
+<label>Width<input name=width type=number value=896></label>
+<button>Generate</button></form>
+<p id=status></p><video id=v controls></video>
+<script>
+f.onsubmit = async (e) => {
+  e.preventDefault();
+  const p = {}; new FormData(f).forEach((v, k) => { if (v !== "") p[k] =
+    isNaN(v) ? v : Number(v); });
+  status.textContent = "generating...";
+  const r = await fetch("/generate", {method: "POST",
+    headers: {"Content-Type": "application/json"},
+    body: JSON.stringify(p)});
+  const out = await r.json();
+  if (out.error) { status.textContent = "error: " + out.error; return; }
+  status.textContent = "done (" + out.fps + " fps)";
+  v.src = "data:video/mp4;base64," + out.mp4;
+};
+</script></body></html>"""
+
+    def handle_ui_payload(self, payload: dict) -> dict:
+        """Form request: no input video -> first-frame-less txt2video-ish
+        run over zeros video (all-generate mask); returns a playable mp4."""
+        t = int(payload.pop("video_length", 49))
+        h = int(payload.pop("height", 512))
+        w = int(payload.pop("width", 896))
+        payload.setdefault("video", _encode_array(
+            np.zeros((1, 3, t, h, w), np.float32)))
+        out = self.handle(payload)
+        video = _decode_array(out["video"]).astype(np.float32) / 255.0
+        import tempfile
+
+        from flexam_tpu.utils.media import save_video
+        with tempfile.TemporaryDirectory() as d:
+            path = save_video(video, f"{d}/out.mp4", fps=self.fps)
+            with open(path, "rb") as fh:
+                mp4 = fh.read()
+        out["mp4"] = base64.b64encode(mp4).decode()
+        return out
+
     def serve(self, port: int = 7860):
         server_ref = self
 
         class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                body = server_ref.UI_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     payload = json.loads(self.rfile.read(n))
-                    result = server_ref.handle(payload)
+                    media = any(k in payload for k in
+                                ("video", "control_video", "tracks",
+                                 "first_frame"))
+                    result = (server_ref.handle(payload) if media
+                              else server_ref.handle_ui_payload(payload))
                     body = json.dumps(result).encode()
                     self.send_response(200)
                 except Exception as e:  # noqa: BLE001

@@ -116,3 +116,24 @@ def test_serve_tracks_path():
         "density": 0.1,
     })
     assert _decode_array(out["video"]).shape == (1, 3, t, h, w)
+
+
+def test_serve_ui_form_request():
+    """The built-in web UI path: plain-scalar form payload -> mp4 base64
+    (the reference's Gradio layer cannot even import in its release)."""
+    from flexam_tpu.serve import GenerationServer
+    srv = GenerationServer(_tiny_pipe())
+    out = srv.handle_ui_payload({
+        "prompt": "ui", "num_inference_steps": 1, "guidance_scale": 6.0,
+        "video_length": 9, "height": 32, "width": 32, "density": 0.1,
+    })
+    assert "mp4" in out and len(out["mp4"]) > 100
+    import base64
+    head = base64.b64decode(out["mp4"])[:12]
+    assert len(head) == 12
+
+
+def test_serve_ui_html_served():
+    from flexam_tpu.serve import GenerationServer
+    assert "/generate" in GenerationServer.UI_HTML
+    assert "Prompt" in GenerationServer.UI_HTML
