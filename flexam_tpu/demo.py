@@ -61,6 +61,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--density", type=int, default=10)
     p.add_argument("--dilation_pixels", type=int, default=200)
     p.add_argument("--tracks_npz", type=str, default=None)
+    p.add_argument("--delta_ckpt", type=str, default=None,
+                   help="densetrack3d.pth for the learned tracker")
     p.add_argument("--poses_npz", type=str, default=None,
                    help="recorded camera poses for --camera_motion: "
                         "extrinsics[T,3,4](+intrinsics), VGGT "
@@ -249,11 +251,27 @@ def main(argv=None):
         elif args.synthetic_tracks:
             tracks, vis = _synthetic_grid_tracks(args.video_length, h, w,
                                                  args.density)
+        elif args.tracking_method.upper() == "DELTA" and is_video:
+            # the reference's flagship path (`pipelines.py:1362-1499`):
+            # DenseTrack3D + depth backend; with no trained checkpoint the
+            # optical-flow baseline gives better tracks than random weights
+            from flexam_tpu.perception import (find_delta_checkpoint,
+                                               track_video_delta,
+                                               track_video_flow)
+            ckpt = args.delta_ckpt or find_delta_checkpoint()
+            if ckpt:
+                tracks, vis = track_video_delta(
+                    input_video, density=args.density, ckpt=ckpt)
+            else:
+                print("NOTE: no densetrack3d.pth found (--delta_ckpt / "
+                      "FLEXAM_DELTA_CKPT) — using the optical-flow "
+                      "baseline tracker instead of random weights")
+                tracks, vis = track_video_flow(input_video,
+                                               density=args.density)
         else:
             raise SystemExit(
-                "DELTA dense tracking is an external model "
-                "(submodules/DELTA, empty in the reference snapshot too); "
-                "pass --tracks_npz or --synthetic_tracks")
+                "no tracks: pass --tracks_npz, --synthetic_tracks, a video "
+                "--input_path (DELTA/flow tracking), or --moge_npz")
         if args.camera_motion:
             if (extr is None or intr is None) and args.poses_npz:
                 from flexam_tpu.perception import poses_npz_to_extri_intri

@@ -470,9 +470,15 @@ class VideoToTrackingPredict(_ExternalAnnotator):
                 fixture=None):
         v = self._video(input_video, video_length)
         if self.BACKEND not in ANNOTATOR_BACKENDS and fixture is None:
-            from flexam_tpu.perception import track_video_flow
+            from flexam_tpu.perception import (find_delta_checkpoint,
+                                               track_video_delta,
+                                               track_video_flow)
+            ckpt = find_delta_checkpoint()
+            if ckpt:      # learned path, like `annotator/nodes.py:325-362`
+                return track_video_delta(v, density=density, ckpt=ckpt)
             print("VideoToTrackingPredict: built-in optical-flow baseline "
-                  "(register a DELTA backend for learned tracking)")
+                  "(drop densetrack3d.pth in ./checkpoints or register a "
+                  "backend for learned tracking)")
             tracks, vis = track_video_flow(v, density=density)
             return tracks, vis
         out = self._run(v, fixture, density=density)

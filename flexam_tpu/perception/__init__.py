@@ -9,4 +9,18 @@ from flexam_tpu.perception.poses import (  # noqa: F401
     quat_to_rotmat,
     rotmat_to_quat,
 )
-from flexam_tpu.perception.tracking import track_video_flow  # noqa: F401
+from flexam_tpu.perception.tracking import (  # noqa: F401
+    find_delta_checkpoint,
+    track_video_delta,
+    track_video_flow,
+)
+
+
+def __getattr__(name):
+    # DenseTrack3D pulls in jax; keep the package import light for
+    # host-only users (depth/pose fixtures).
+    if name in ("DenseTrack3D", "DensePredictor3D", "load_densetrack3d",
+                "DenseTrack3DConfig"):
+        from flexam_tpu.perception import densetrack3d as _m
+        return getattr(_m, name)
+    raise AttributeError(name)

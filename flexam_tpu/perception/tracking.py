@@ -20,9 +20,68 @@ no-external-models fallback, selected with `--tracking_method flow`.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+def find_delta_checkpoint() -> Optional[str]:
+    """Locate densetrack3d.pth like the reference does
+    (`pipelines.py:1383`, `annotator/nodes.py:325-343`): the
+    FLEXAM_DELTA_CKPT env var, then the reference's default checkpoint
+    layout under ./checkpoints."""
+    cand = os.environ.get("FLEXAM_DELTA_CKPT")
+    if cand and os.path.exists(cand):
+        return cand
+    for base in ("checkpoints/Wan2.2-Fun-5B-FLEXAM", "checkpoints",
+                 "checkpoints/DELTA"):
+        p = os.path.join(base, "densetrack3d.pth")
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def track_video_delta(
+    video: np.ndarray,                 # [1,3,T,H,W] or [T,H,W,3] in [0,1]
+    density: int = 10,
+    ckpt: Optional[str] = None,
+    depth_backend: Optional[str] = None,
+    model=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Learned dense tracking — the `generate_tracking_DELTA` flow
+    (`pipelines.py:1362-1499`): depth estimation -> DenseTrack3D ->
+    stride-`density` subsample of the dense grid. Returns
+    (tracks [T, N, 3] with (u, v, depth), visibility [T, N] bool).
+
+    The density subsample runs ON DEVICE (predictor `downsample=`) so only
+    the sparse tracks cross the axon tunnel, not the 196k-point dense grid.
+    """
+    from flexam_tpu.perception.densetrack3d import (
+        DensePredictor3D, DenseTrack3D, load_densetrack3d)
+    from flexam_tpu.perception.depth import estimate_depth
+
+    v = _to_thwc(video)
+    t, h, w, _ = v.shape
+    if model is None:
+        ckpt = ckpt or find_delta_checkpoint()
+        if ckpt:
+            model = load_densetrack3d(ckpt)
+        else:
+            print("WARNING: no densetrack3d.pth found — random-weight "
+                  "DenseTrack3D (set FLEXAM_DELTA_CKPT; quality needs "
+                  "trained weights)")
+            model = DenseTrack3D()
+    depth = estimate_depth(v, backend=depth_backend)       # [T, H, W]
+    out = DensePredictor3D(model)(
+        v.transpose(0, 3, 1, 2)[None],                     # [1,T,3,H,W]
+        depth[None, :, None],                              # [1,T,1,H,W]
+        grid_query_frame=0, downsample=density)
+    uv = np.asarray(out["trajs_uv"][0], np.float32)        # [T, N, 2]
+    dep = np.asarray(out["trajs_depth"][0, ..., 0], np.float32)
+    vis = np.asarray(out["vis"][0]) > 0.5
+    tracks = np.concatenate([uv, dep[..., None]], axis=-1)
+    return tracks.astype(np.float32), vis
 
 
 def _to_thwc(video: np.ndarray) -> np.ndarray:
