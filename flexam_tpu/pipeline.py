@@ -40,6 +40,7 @@ from flexam_tpu.models.dit import (dit_forward, dit_forward_teacache,
 from flexam_tpu.models.t5 import t5_encode
 from flexam_tpu.models.vae import vae_decode, vae_encode_mode
 from flexam_tpu.models.vae_stream import (vae_decode_streamed,
+                                          vae_decode_streamed_u8,
                                           vae_encode_mode_streamed)
 from flexam_tpu.core.attention import attention as default_attention
 from flexam_tpu.sampling import build_schedule
@@ -880,15 +881,29 @@ class FlexAMGenerationPipeline:
                 lw * cfgv.spatial_compression_ratio)
         if offload_dit_for_decode:
             self.offload_dit_to_host()
-        out = self._decode(latents)
         # fetch as uint8: the tunnel moves tens of MB/s, and the video is
         # written to 8-bit media anyway (fp32 fetch of a flagship clip is
-        # 510 MB ≈ half a minute; uint8 is 127 MB)
-        out = self._to_u8_jit(out)
-        out = np.asarray(out).astype(np.float32) / 255.0
+        # 510 MB ≈ half a minute; uint8 is 127 MB). On the streamed path
+        # each group's fetch overlaps the next group's decode.
+        u8 = self._decode_u8_host(latents)               # [B, T, H, W, 3]
+        out = u8.transpose(0, 4, 1, 2, 3).astype(np.float32) / 255.0
         if offload_dit_for_decode:
             self.restore_dit()
         return out
+
+    def _decode_u8_host(self, latents: jnp.ndarray) -> np.ndarray:
+        """Decode -> host uint8 [B, T, H, W, 3]; group-wise async fetch on
+        the streamed path (see `vae_decode_streamed_u8`)."""
+        n, _, lt, lh, lw = latents.shape
+        mesh = getattr(self, "vae_mesh", None)
+        if mesh is None and self._use_streaming(n, lt * 4, lh * 16, lw * 16):
+            big = n * lt * lh * lw * 4 * 256 > self.VAE_STREAM_THRESHOLD
+            return vae_decode_streamed_u8(
+                self.models.vae_params, self.cfg.vae,
+                latents.astype(self.compute_dtype),
+                group_size=2 if big else 4)
+        out = self._to_u8_jit(self._decode(latents))     # [B, 3, T, H, W]
+        return np.asarray(out).transpose(0, 2, 3, 4, 1)
 
     @partial(jax.jit, static_argnums=(0,))
     def _to_u8_jit(self, out):

@@ -41,3 +41,18 @@ def test_encode_streamed_matches_whole_clip(params):
                                    err_msg=f"group_size={g}")
         np.testing.assert_allclose(np.asarray(lv), np.asarray(lv_ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_decode_streamed_u8_matches_streamed(params):
+    """The async-fetch uint8 path returns byte-identical pixels to
+    uint8(vae_decode_streamed(...)), in [B, T, H, W, 3] layout."""
+    from flexam_tpu.models.vae_stream import vae_decode_streamed_u8
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 7, 2, 2),
+                          jnp.float32) * 0.5
+    ref = np.asarray(vae_decode_streamed(params, TINY, z, group_size=3))
+    ref_u8 = np.clip(np.round((np.clip(ref, -1, 1) + 1) * 127.5),
+                     0, 255).astype(np.uint8)
+    ref_u8 = ref_u8.transpose(0, 2, 3, 4, 1)          # [B, T, H, W, 3]
+    got = vae_decode_streamed_u8(params, TINY, z, group_size=3)
+    assert got.dtype == np.uint8 and got.shape == ref_u8.shape
+    np.testing.assert_array_equal(got, ref_u8)
