@@ -23,4 +23,8 @@ def __getattr__(name):
                 "DenseTrack3DConfig"):
         from flexam_tpu.perception import densetrack3d as _m
         return getattr(_m, name)
+    if name in ("UniDepthV2", "UniDepthV2Config", "load_unidepth",
+                "predict_depth_video"):
+        from flexam_tpu.perception import unidepth as _m
+        return getattr(_m, name)
     raise AttributeError(name)

@@ -56,8 +56,18 @@ def _onnx_depth(video: np.ndarray, size: int = 384, **kw) -> np.ndarray:
     return out
 
 
+def _unidepth_lazy(video: np.ndarray, **kw) -> np.ndarray:
+    """UniDepth V2 — the reference's actual depth model
+    (`pipelines.py:1393-1405`), ported natively in
+    flexam_tpu.perception.unidepth; lazy so the registry import stays
+    light. Weights: FLEXAM_UNIDEPTH_CKPT."""
+    from flexam_tpu.perception.unidepth import _unidepth_backend
+    return _unidepth_backend(video, **kw)
+
+
 register_depth_backend("luminance", _luminance_depth)
 register_depth_backend("onnx", _onnx_depth)
+register_depth_backend("unidepth", _unidepth_lazy)
 
 
 def estimate_depth(video: np.ndarray, backend: str = None, **kw
