@@ -76,7 +76,12 @@ def estimate_depth(video: np.ndarray, backend: str = None, **kw
     v = np.asarray(video, np.float32)
     if v.ndim == 5:
         v = v[0].transpose(1, 2, 3, 0)
-    backend = backend or os.environ.get("FLEXAM_DEPTH_BACKEND", "luminance")
+    if backend is None:
+        backend = os.environ.get("FLEXAM_DEPTH_BACKEND")
+    if backend is None:
+        # prefer the real model when its checkpoint is available
+        ckpt = os.environ.get("FLEXAM_UNIDEPTH_CKPT")
+        backend = "unidepth" if ckpt and os.path.exists(ckpt) else "luminance"
     if backend not in DEPTH_BACKENDS:
         raise KeyError(f"unknown depth backend {backend!r}; "
                        f"have {sorted(DEPTH_BACKENDS)}")
