@@ -277,10 +277,15 @@ def main(argv=None):
                 from flexam_tpu.perception import poses_npz_to_extri_intri
                 extr, intr = poses_npz_to_extri_intri(args.poses_npz, w, h)
             if extr is None or intr is None:
-                raise SystemExit("--camera_motion on the video path needs "
-                                 "extrinsics/intrinsics in --tracks_npz "
-                                 "or a --poses_npz fixture (VGGT/Pi3 "
-                                 "outputs, `demo.py:310-325`)")
+                # native replacement for the VGGT/Pi3 pose step
+                # (`demo.py:310-325`): solve rigid per-frame poses from
+                # the 3D tracks themselves (robust Kabsch)
+                from flexam_tpu.perception.pose_solver import \
+                    solve_camera_poses
+                print("NOTE: solving camera poses from tracks (no "
+                      "--poses_npz; robust Kabsch, frame-0 world)")
+                extr, intr = solve_camera_poses(tracks, vis,
+                                                width=w, height=h)
             poses = cam.get_default_motion()
             world = cam.s2w_vggt(tracks, extr, intr)
             tracks = cam.w2s_vggt(

@@ -9,6 +9,10 @@ from flexam_tpu.perception.poses import (  # noqa: F401
     quat_to_rotmat,
     rotmat_to_quat,
 )
+from flexam_tpu.perception.pose_solver import (  # noqa: F401
+    default_intrinsics,
+    solve_camera_poses,
+)
 from flexam_tpu.perception.tracking import (  # noqa: F401
     find_delta_checkpoint,
     track_video_delta,

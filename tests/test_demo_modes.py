@@ -146,3 +146,22 @@ def test_moge_image_path(fixtures, tmp_path):
                  "--camera_motion", "trans 0 0 0.3",
                  "--output_dir", out])
     _check_result(out)
+
+
+def test_camera_with_solved_poses(fixtures, tmp_path):
+    """Camera control WITHOUT a poses/extrinsics fixture: the demo falls
+    back to the native pose solver (robust Kabsch over the 3D tracks) —
+    the self-contained replacement for the reference's VGGT/Pi3 step
+    (`demo.py:310-325`)."""
+    import numpy as np
+    d = tmp_path / "solved"
+    tracks_np = np.load(fixtures["tracks"])
+    no_pose_path = str(tmp_path / "tracks_noposes.npz")
+    np.savez(no_pose_path, tracks=tracks_np["tracks"],
+             visibility=tracks_np["visibility"])
+    main(BASE + ["--generate_type", "full_edit",
+                 "--input_path", fixtures["video"],
+                 "--tracks_npz", no_pose_path,
+                 "--camera_motion", "trans 0.05 0 0.1",
+                 "--output_dir", str(d)])
+    _check_result(str(d))
