@@ -430,16 +430,40 @@ class _ExternalAnnotator:
             f"checkpoints here; its submodule dirs are empty too)")
 
 
+def depth_to_visualization(depth: np.ndarray) -> np.ndarray:
+    """Metric/relative depth [T, H, W] -> the reference node's output
+    video: per-frame 2nd/85th-percentile normalization, inverted
+    (near = bright), 3-channel float 0..1 (`annotator/nodes.py:180-190`)."""
+    out = np.zeros((*depth.shape, 3), np.float32)
+    for i, d in enumerate(np.asarray(depth, np.float32)):
+        vmin = np.percentile(d, 2)
+        vmax = np.percentile(d, 85)
+        d = (d - vmin) / max(vmax - vmin, 1e-9)
+        d = np.clip(1.0 - d, 0.0, 1.0)
+        out[i] = d[..., None]
+    return out
+
+
 class VideoToDepth(_ExternalAnnotator):
-    """`VideoToDepth` (`annotator/nodes.py:153-233`): Depth-Anything-V2
-    per-frame depth, via backend/fixture (key 'depth': [T,H,W,3] 0..1)."""
+    """`VideoToDepth` (`annotator/nodes.py:153-233`): per-frame depth
+    rendered as a control video. Resolution order: a registered 'depth'
+    annotator backend / fixture (key 'depth': [T,H,W,3] 0..1), else the
+    perception depth registry (native UniDepth port when
+    FLEXAM_UNIDEPTH_CKPT is set) + the reference's exact percentile
+    normalization."""
     BACKEND = "depth"
 
     def process(self, input_video, video_length=81, fixture=None):
         v = self._video(input_video, video_length)
+        if self.BACKEND not in ANNOTATOR_BACKENDS and fixture is None:
+            from flexam_tpu.perception.depth import estimate_depth
+            return (depth_to_visualization(estimate_depth(v))
+                    .transpose(3, 0, 1, 2)[None],)
         out = self._run(v, fixture)
         d = np.asarray(out["depth"] if isinstance(out, dict) else out,
                        np.float32)
+        if d.ndim == 3:                        # metric [T,H,W] -> video
+            d = depth_to_visualization(d)
         return (d.transpose(3, 0, 1, 2)[None],)
 
 

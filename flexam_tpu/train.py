@@ -85,3 +85,32 @@ def train_step(params, opt_state, tx, cfg: DiTConfig, batch: Dict,
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+def lora_train_step(base_params, lora_params, opt_state, tx,
+                    cfg: DiTConfig, batch: Dict, key: jax.Array,
+                    rope_tables=None, multiplier: float = 1.0
+                    ) -> Tuple[dict, object, jnp.ndarray]:
+    """LoRA fine-tuning update: the base DiT stays FROZEN; gradients flow
+    only through the low-rank factors via `utils.lora.apply_lora`
+    (train-side `LoRANetwork`, reference `lora_utils.py:158-370` — which
+    ships without a trainer; this completes it). Jit with base_params as
+    an argument (never a closure constant: 10 GB MLIR inline)."""
+    from flexam_tpu.utils.lora import apply_lora
+
+    b = batch["latents"].shape[0]
+    k_sig, k_eps = jax.random.split(key)
+    sigma = jax.random.uniform(k_sig, (b,), jnp.float32, 1e-4, 1.0)
+    eps = jax.random.normal(k_eps, batch["latents"].shape, jnp.float32)
+
+    def loss_fn(blocks):
+        p = apply_lora(base_params, {**lora_params, "blocks": blocks},
+                       multiplier=multiplier)
+        return flow_match_loss(p, cfg, batch, sigma, eps, rope_tables)
+
+    # only the low-rank factors train; rank/alpha are static metadata
+    # (init the optimizer with tx.init(lora_params["blocks"]))
+    loss, grads = jax.value_and_grad(loss_fn)(lora_params["blocks"])
+    updates, opt_state = tx.update(grads, opt_state, lora_params["blocks"])
+    blocks = optax.apply_updates(lora_params["blocks"], updates)
+    return {**lora_params, "blocks": blocks}, opt_state, loss

@@ -101,3 +101,93 @@ def merge_lora(params: dict, lora_sd: Mapping[str, np.ndarray],
 
 def unmerge_lora(params: dict, lora_sd, multiplier: float = 1.0) -> dict:
     return merge_lora(params, lora_sd, multiplier, sign=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# train-side LoRA (`LoRANetwork`, `lora_utils.py:158-370`)
+# ---------------------------------------------------------------------------
+
+_PROJ_NAMES = {"self_attn": ("q", "k", "v", "o"),
+               "cross_attn": ("q", "k", "v", "o"),
+               "ffn": ("fc1", "fc2")}
+
+
+def init_lora_params(key, dit_params: dict, rank: int = 16,
+                     alpha: Optional[float] = None,
+                     targets=("self_attn", "cross_attn", "ffn")) -> dict:
+    """Create trainable LoRA factors over the DiT's scan-stacked block
+    linears — the `LoRANetwork` creation the reference inherits from
+    kohya (`lora_utils.py:158-370`), as a pytree:
+
+      {"blocks": {mod: {proj: {"a": [L, r, in], "b": [L, out, r]}}},
+       "rank": r, "alpha": a}
+
+    A is Kaiming-ish normal, B zero (standard LoRA init: the delta starts
+    at exactly zero), alpha defaults to rank (scale 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    blocks = dit_params["blocks"]
+    out: Dict = {"blocks": {}, "rank": rank,
+                 "alpha": float(alpha if alpha is not None else rank)}
+    for mod in targets:
+        if mod not in blocks:
+            continue
+        out["blocks"][mod] = {}
+        for proj in _PROJ_NAMES[mod]:
+            if proj not in blocks[mod]:
+                continue
+            w = blocks[mod][proj]["weight"]           # [L, out, in]
+            layers, odim, idim = w.shape
+            key, k1 = jax.random.split(key)
+            a = jax.random.normal(k1, (layers, rank, idim),
+                                  jnp.float32) / rank
+            b = jnp.zeros((layers, odim, rank), jnp.float32)
+            out["blocks"][mod][proj] = {"a": a, "b": b}
+    return out
+
+
+def apply_lora(dit_params: dict, lora: dict, multiplier: float = 1.0
+               ) -> dict:
+    """In-jit effective weights: W_eff = W + m*(alpha/r)*(B @ A) per
+    stacked layer. Differentiable through (a, b) — the LoRA train step
+    freezes the base and takes grads through this."""
+    import jax.numpy as jnp
+
+    scale = multiplier * lora["alpha"] / lora["rank"]
+    blocks = dict(dit_params["blocks"])
+    for mod, projs in lora["blocks"].items():
+        newmod = dict(blocks[mod])
+        for proj, ab in projs.items():
+            w = newmod[proj]["weight"]
+            delta = jnp.einsum("lor,lri->loi", ab["b"], ab["a"]) * scale
+            neww = (w.astype(jnp.float32) + delta).astype(w.dtype)
+            newmod[proj] = {**newmod[proj], "weight": neww}
+        blocks[mod] = newmod
+    return {**dit_params, "blocks": blocks}
+
+
+def lora_to_state_dict(lora: dict, layout: str = "kohya") -> Dict[str, "np.ndarray"]:
+    """Export trained factors to the checkpoint layouts `merge_lora`
+    loads (kohya 'lora_unet_*' or diffusers '*.lora_A/B'), per stacked
+    layer — so a LoRA trained here hot-merges anywhere."""
+    sd: Dict[str, np.ndarray] = {}
+    alpha = np.float32(lora["alpha"])
+    for mod, projs in lora["blocks"].items():
+        for proj, ab in projs.items():
+            a = np.asarray(ab["a"], np.float32)
+            b = np.asarray(ab["b"], np.float32)
+            ref_proj = "0" if proj == "fc1" else ("2" if proj == "fc2"
+                                                  else proj)
+            for layer in range(a.shape[0]):
+                if layout == "kohya":
+                    stem = f"lora_unet_blocks_{layer}_{mod}_{ref_proj}"
+                    sd[f"{stem}.lora_down.weight"] = a[layer]
+                    sd[f"{stem}.lora_up.weight"] = b[layer]
+                    sd[f"{stem}.alpha"] = alpha
+                else:
+                    stem = f"blocks.{layer}.{mod}.{ref_proj}"
+                    sd[f"{stem}.lora_A.weight"] = a[layer]
+                    sd[f"{stem}.lora_B.weight"] = b[layer]
+                    sd[f"{stem}.alpha"] = alpha
+    return sd

@@ -180,8 +180,13 @@ def test_annotator_backend_registry_and_fixture(tmp_path):
     rng = np.random.RandomState(0)
     video = rng.rand(1, 3, 3, 16, 16).astype(np.float32)
     import pytest as _pytest
+    from flexam_tpu.nodes import VideoToPose
     with _pytest.raises(RuntimeError, match="external model"):
-        VideoToDepth().process(video, video_length=3)
+        VideoToPose().process(video, video_length=3)
+    # VideoToDepth no longer requires an external: it falls through to the
+    # perception depth registry + the reference's percentile normalization
+    d, = VideoToDepth().process(video, video_length=3)
+    assert d.shape == video.shape and d.min() >= 0 and d.max() <= 1
     fx = str(tmp_path / "tracks.npz")
     np.savez(fx, tracks=rng.rand(3, 7, 3).astype(np.float32),
              visibility=np.ones((3, 7), bool))

@@ -94,3 +94,64 @@ def test_train_step_mixed_image_video_batches(tmp_path):
             lambda p, o, b, k: train_step(p, o, tx, cfg, b, k)
         )(params, opt_state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(loss)), lt
+
+
+def _lora_setup():
+    cfg = tiny_test_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg.dit,
+                             dtype=jnp.float32)
+    batch = _batch(cfg, np.random.RandomState(0))
+    return params, cfg, batch
+
+
+def test_lora_export_merge_equivalence():
+    """apply_lora(base, lora) == merge_lora(base, lora_to_state_dict(lora))
+    — train-side factors round-trip through BOTH checkpoint layouts the
+    hot-merge loader accepts."""
+    from flexam_tpu.utils.lora import (apply_lora, init_lora_params,
+                                       lora_to_state_dict, merge_lora)
+    params, cfg, batch = _lora_setup()
+    lora = init_lora_params(jax.random.PRNGKey(7), params, rank=2)
+    # non-zero B so the delta is non-trivial
+    lora["blocks"] = jax.tree_util.tree_map(lambda a: a + 0.1,
+                                            lora["blocks"])
+    direct = apply_lora(params, lora)
+    for layout in ("kohya", "diffusers"):
+        sd = lora_to_state_dict(lora, layout=layout)
+        merged = merge_lora(params, sd)
+        for mod in lora["blocks"]:
+            for proj in lora["blocks"][mod]:
+                np.testing.assert_allclose(
+                    np.asarray(direct["blocks"][mod][proj]["weight"]),
+                    np.asarray(merged["blocks"][mod][proj]["weight"]),
+                    rtol=1e-5, atol=1e-6, err_msg=f"{layout} {mod}.{proj}")
+
+
+def test_lora_train_step_freezes_base():
+    """LoRA training: loss decreases, only the factors change, the base
+    stays bit-identical; zero-init B means step-0 delta is exactly zero."""
+    import optax
+    from flexam_tpu.train import lora_train_step
+    from flexam_tpu.utils.lora import apply_lora, init_lora_params
+    params, cfg, batch = _lora_setup()
+    lora = init_lora_params(jax.random.PRNGKey(8), params, rank=2)
+    eff0 = apply_lora(params, lora)
+    np.testing.assert_array_equal(
+        np.asarray(eff0["blocks"]["self_attn"]["q"]["weight"]),
+        np.asarray(params["blocks"]["self_attn"]["q"]["weight"]))
+
+    tx = optax.adamw(1e-2)
+    opt_state = tx.init(lora["blocks"])
+    base_before = jax.tree_util.tree_map(np.asarray, params)
+    step = jax.jit(lambda bp, lp, os, k: lora_train_step(
+        bp, lp, os, tx, cfg.dit, batch, k))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(6):
+        lora, opt_state, loss = step(params, lora, opt_state,
+                                     jax.random.fold_in(key, 0))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, base_before,
+        jax.tree_util.tree_map(np.asarray, params))
