@@ -207,10 +207,19 @@ def main(argv=None):
                                 pose_file=args.pose_file)
     extr = intr = None
     if args.moge_npz or (args.tracking_method == "moge" and not is_video):
-        if not args.moge_npz:
-            raise SystemExit("image input requires --moge_npz (MoGe is an "
-                             "external model; provide its output fixture)")
-        moge = np.load(args.moge_npz)
+        if args.moge_npz:
+            moge = dict(np.load(args.moge_npz))
+        elif os.environ.get("FLEXAM_MOGE_CKPT"):
+            # native MoGe implementation (flexam_tpu.perception.moge)
+            # on the loaded first frame, like `demo.py:220-223`
+            from flexam_tpu.perception.moge import load_moge
+            model = load_moge(os.environ["FLEXAM_MOGE_CKPT"])
+            moge = model.infer(np.asarray(input_video)[0, :, 0])
+        else:
+            raise SystemExit(
+                "image input needs MoGe geometry: pass --moge_npz (output "
+                "fixture) or set FLEXAM_MOGE_CKPT for the native "
+                "implementation (flexam_tpu.perception.moge)")
         points = np.asarray(moge["points"], np.float32)     # [H', W', 3]
         moge_mask = np.asarray(moge["mask"]).astype(bool)
         if "intrinsics" in moge:

@@ -31,4 +31,8 @@ def __getattr__(name):
                 "predict_depth_video"):
         from flexam_tpu.perception import unidepth as _m
         return getattr(_m, name)
+    if name in ("MoGeModel", "MoGeConfig", "load_moge",
+                "recover_focal_shift"):
+        from flexam_tpu.perception import moge as _m
+        return getattr(_m, name)
     raise AttributeError(name)
