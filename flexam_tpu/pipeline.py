@@ -898,10 +898,15 @@ class FlexAMGenerationPipeline:
         mesh = getattr(self, "vae_mesh", None)
         if mesh is None and self._use_streaming(n, lt * 4, lh * 16, lw * 16):
             big = n * lt * lh * lw * 4 * 256 > self.VAE_STREAM_THRESHOLD
+            # tiny groups exist to coexist with the resident 5B weights;
+            # with the DiT offloaded/released the whole chip is the
+            # decoder's — bigger groups halve the launch count (the axon
+            # link is per-launch-latency bound when degraded)
+            dit_resident = self.models.dit_params is not None
             return vae_decode_streamed_u8(
                 self.models.vae_params, self.cfg.vae,
                 latents.astype(self.compute_dtype),
-                group_size=2 if big else 4)
+                group_size=(2 if big else 4) if dit_resident else 4)
         out = self._to_u8_jit(self._decode(latents))     # [B, 3, T, H, W]
         return np.asarray(out).transpose(0, 2, 3, 4, 1)
 
