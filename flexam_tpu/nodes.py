@@ -468,13 +468,31 @@ class VideoToDepth(_ExternalAnnotator):
 
 
 class VideoToPose(_ExternalAnnotator):
-    """`VideoToPose` (`annotator/nodes.py:234-295`): DWPose ONNX skeleton
-    render, via backend/fixture (key 'pose': [T,H,W,3] 0..1)."""
+    """`VideoToPose` (`annotator/nodes.py:234-295`): DWPose skeleton
+    render. Accepts (a) a backend/fixture with a rendered 'pose' video
+    [T,H,W,3] 0..1, or (b) raw RTMPose keypoints ('keypoints' [T,P,133,2]
+    + 'scores' [T,P,133]) rendered natively with pixel-exact OpenPose
+    drawing (flexam_tpu.perception.pose_render, parity-tested vs the
+    vendored dwpose_utils)."""
     BACKEND = "pose"
 
     def process(self, input_video, video_length=81, fixture=None):
+        import os
         v = self._video(input_video, video_length)
+        if (self.BACKEND not in ANNOTATOR_BACKENDS and fixture is None
+                and os.environ.get("FLEXAM_DWPOSE_DET")):
+            # full native DWPose: YOLOX + RTMPose through cv2.dnn
+            # (flexam_tpu.perception.dwpose)
+            from flexam_tpu.perception.dwpose import dwpose_video
+            p = dwpose_video(v)
+            return (p.transpose(3, 0, 1, 2)[None],)
         out = self._run(v, fixture)
+        if isinstance(out, dict) and "keypoints" in out:
+            from flexam_tpu.perception.pose_render import render_pose_video
+            t, h, w = v.shape[:3]
+            p = render_pose_video(np.asarray(out["keypoints"]),
+                                  np.asarray(out["scores"]), h, w)[:t]
+            return (p.transpose(3, 0, 1, 2)[None],)
         p = np.asarray(out["pose"] if isinstance(out, dict) else out,
                        np.float32)
         return (p.transpose(3, 0, 1, 2)[None],)

@@ -35,4 +35,10 @@ def __getattr__(name):
                 "recover_focal_shift"):
         from flexam_tpu.perception import moge as _m
         return getattr(_m, name)
+    if name in ("DWPoseDetector", "dwpose_video"):
+        from flexam_tpu.perception import dwpose as _m
+        return getattr(_m, name)
+    if name in ("render_pose_video", "draw_pose", "wholebody_to_openpose"):
+        from flexam_tpu.perception import pose_render as _m
+        return getattr(_m, name)
     raise AttributeError(name)
