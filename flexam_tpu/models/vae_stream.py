@@ -180,10 +180,13 @@ def _decode_group_jit(params, cfg, x, caches, first):
     return _decoder_group(params, cfg, x, caches, first)
 
 
-def vae_decode_streamed(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
-                        group_size: int = 4) -> jnp.ndarray:
-    """Drop-in replacement for `vae_decode` with bounded memory.
-    zlat: [B, z, T', H', W'] -> [B, 3, T, H*16, W*16]."""
+def _decode_groups(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
+                   group_size: int):
+    """Shared streamed-decode loop: latent de-normalization + causal
+    group iteration. Yields pre-unpatchify pixel groups [B, gt, H/2,
+    W/2, 12]; both output flavors below consume this, so the grouping
+    rules (first group >= 2, equal steady-state sizes for compile reuse,
+    remainder gets its own compile) live in ONE place."""
     b, zc, lt, lh, lw = zlat.shape
     dt = zlat.dtype
     z = zlat.transpose(0, 2, 3, 4, 1)
@@ -193,20 +196,24 @@ def vae_decode_streamed(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
     x = causal_conv3d(z, params["conv2"])     # 1x1x1, stateless
 
     caches = _decoder_cache_shapes(cfg, b, lh, lw, dt)
-    outs = []
     g = min(group_size, lt)
     first_g = min(max(g, 2), lt)
     idx = 0
     first = True
     while idx < lt:
         take = first_g if first else min(g, lt - idx)
-        # keep steady-state groups equal-size for compile reuse; the
-        # remainder group gets its own compile
         chunk = x[:, idx:idx + take]
         y, caches = _decode_group_jit(params, cfg, chunk, caches, first)
-        outs.append(y)
+        yield y
         idx += take
         first = False
+
+
+def vae_decode_streamed(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
+                        group_size: int = 4) -> jnp.ndarray:
+    """Drop-in replacement for `vae_decode` with bounded memory.
+    zlat: [B, z, T', H', W'] -> [B, 3, T, H*16, W*16]."""
+    outs = list(_decode_groups(params, cfg, zlat, group_size))
     out = jnp.concatenate(outs, axis=1)
     out = unpatchify(out, 2)
     out = jnp.clip(out, -1.0, 1.0)
@@ -233,32 +240,14 @@ def vae_decode_streamed_u8(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
     Identical bytes to `uint8(vae_decode_streamed(...))` (tested).
     """
     import numpy as np
-    b, zc, lt, lh, lw = zlat.shape
-    dt = zlat.dtype
-    z = zlat.transpose(0, 2, 3, 4, 1)
-    mean = params["latents_mean"].astype(dt)
-    inv_std = params["latents_inv_std"].astype(dt)
-    z = z / inv_std + mean
-    x = causal_conv3d(z, params["conv2"])     # 1x1x1, stateless
-
-    caches = _decoder_cache_shapes(cfg, b, lh, lw, dt)
     outs = []
-    g = min(group_size, lt)
-    first_g = min(max(g, 2), lt)
-    idx = 0
-    first = True
-    while idx < lt:
-        take = first_g if first else min(g, lt - idx)
-        chunk = x[:, idx:idx + take]
-        y, caches = _decode_group_jit(params, cfg, chunk, caches, first)
+    for y in _decode_groups(params, cfg, zlat, group_size):
         u8 = _group_to_u8(y)
         try:
             u8.copy_to_host_async()
         except Exception:        # backend without async D2H: np.asarray
             pass                 # below still fetches correctly
         outs.append(u8)
-        idx += take
-        first = False
     return np.concatenate([np.asarray(o) for o in outs], axis=1)
 
 

@@ -480,7 +480,8 @@ class VideoToPose(_ExternalAnnotator):
         import os
         v = self._video(input_video, video_length)
         if (self.BACKEND not in ANNOTATOR_BACKENDS and fixture is None
-                and os.environ.get("FLEXAM_DWPOSE_DET")):
+                and os.environ.get("FLEXAM_DWPOSE_DET")
+                and os.environ.get("FLEXAM_DWPOSE_POSE")):
             # full native DWPose: YOLOX + RTMPose through cv2.dnn
             # (flexam_tpu.perception.dwpose)
             from flexam_tpu.perception.dwpose import dwpose_video

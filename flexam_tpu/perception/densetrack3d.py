@@ -686,8 +686,9 @@ class DensePredictor3D:
             raise NotImplementedError("batch 1 only (like the reference)")
         hm, wm = cfg.model_resolution
         frames = v[0].transpose(0, 2, 3, 1)                # [T, H, W, 3]
-        if frames.max() > 2.0:
-            frames = frames / 255.0
+        # contract: 0..1 input like the reference predictor call
+        # (`pipelines.py:1455-1460` passes the 0..1 video tensor); no
+        # max() heuristic — it would mis-scale near-black clips
         frames = jax.image.resize(frames, (t, hm, wm, 3), "bilinear")
         dep = d.reshape(t, 1, *d.shape[-2:])[:, 0]
         dep = jax.image.resize(dep, (t, hm, wm), "bilinear")

@@ -77,7 +77,7 @@ def estimate_depth(video: np.ndarray, backend: str = None, **kw
     if v.ndim == 5:
         v = v[0].transpose(1, 2, 3, 0)
     if backend is None:
-        backend = os.environ.get("FLEXAM_DEPTH_BACKEND")
+        backend = os.environ.get("FLEXAM_DEPTH_BACKEND") or None
     if backend is None:
         # prefer the real model when its checkpoint is available
         ckpt = os.environ.get("FLEXAM_UNIDEPTH_CKPT")

@@ -239,7 +239,14 @@ class DWPoseDetector:
         x, ratio = letterbox(img)
         raw = self._run(self.det, x[None])[0]
         boxes = detect_people(np.asarray(raw)[0], ratio)
-        if boxes is None or len(boxes) == 0:
+        if boxes is None:
+            # reference: no detection at all -> no poses -> black frame
+            # (`Wholebody.__call__` returns None, `wholebody.py:57-59`)
+            return (np.zeros((0, 133, 2), np.float32),
+                    np.zeros((0, 133), np.float32))
+        if len(boxes) == 0:
+            # person-filtered-empty: the reference's pose preprocess
+            # falls back to the full image (`onnxpose.py:23-25`)
             boxes = np.asarray([[0, 0, img.shape[1], img.shape[0]]],
                                np.float32)
         all_k, all_s = [], []

@@ -243,8 +243,9 @@ class MoGeModel:
         if arr.ndim == 3 and arr.shape[0] == 3:
             arr = arr.transpose(1, 2, 0)
         h, w, _ = arr.shape
-        if arr.max() > 2.0:
-            arr = arr / 255.0
+        # contract: 0..1 input, like the reference's
+        # `moge.infer(first_frame)` (`demo.py:220-223`) — no max()
+        # heuristic (it would mis-scale near-black frames)
         # resize so H*W lands in the pixel budget, multiple of 14
         n = h * w
         target = min(cfg.pixels_max, max(cfg.pixels_min, n))

@@ -673,9 +673,11 @@ class UniDepthV2:
             arr = arr.transpose(0, 2, 3, 1)          # -> [B, H, W, 3]
         b, h, w, _ = arr.shape
         if normalize:
-            if arr.max() > 2.0:
-                arr = arr / 255.0
-            arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+            # the reference divides by 255 UNCONDITIONALLY under
+            # normalize=True (`unidepthv2.py:283-287`): infer() takes
+            # 0..255 input — no max() heuristic (it would mis-scale
+            # near-black frames)
+            arr = (arr / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         # resolution_level picks a slice of the pixel budget (:252-260)
         lo, hi = cfg.pixels_min, cfg.pixels_max
         interval = (hi - lo) / 10
@@ -900,20 +902,31 @@ def load_unidepth(path: str, cfg: Optional[UniDepthV2Config] = None
     return UniDepthV2(cfg, params=load_unidepth_state_dict(sd, cfg))
 
 
+_BACKEND_CACHE: dict = {}
+
+
 def _unidepth_backend(video: np.ndarray, model: Optional[UniDepthV2] = None,
                       chunk: int = 32, **kw) -> np.ndarray:
     """Depth-registry backend: FLEXAM_UNIDEPTH_CKPT points at the
-    checkpoint; without it a random-weight model runs (smoke only, warns)."""
+    checkpoint; without it a random-weight model runs (smoke only, warns).
+    The loaded model is cached per checkpoint path — one demo run calls
+    this from both tracking and the depth control video, and re-uploading
+    ~1.2 GB of ViT-L weights over the slow host link costs minutes."""
     import os
     import sys
     if model is None:
         ckpt = os.environ.get("FLEXAM_UNIDEPTH_CKPT")
-        if ckpt and os.path.exists(ckpt):
-            model = load_unidepth(ckpt)
-        else:
-            print("WARNING: FLEXAM_UNIDEPTH_CKPT not set — random-weight "
-                  "UniDepthV2 (shapes only; depth quality needs the "
-                  "trained checkpoint)", file=sys.stderr)
-            model = UniDepthV2()
+        key = ckpt if (ckpt and os.path.exists(ckpt)) else "__random__"
+        model = _BACKEND_CACHE.get(key)
+        if model is None:
+            if key == "__random__":
+                print("WARNING: FLEXAM_UNIDEPTH_CKPT not set — "
+                      "random-weight UniDepthV2 (shapes only; depth "
+                      "quality needs the trained checkpoint)",
+                      file=sys.stderr)
+                model = UniDepthV2()
+            else:
+                model = load_unidepth(ckpt)
+            _BACKEND_CACHE[key] = model
     return predict_depth_video(model, np.asarray(video, np.float32),
                                chunk=chunk)

@@ -83,16 +83,22 @@ def merge_lora(params: dict, lora_sd: Mapping[str, np.ndarray],
 
     out = params
     blocks = dict(params["blocks"])
-    # group per (module, proj): update the stacked [L, out, in] weight
+    # group per (module, proj): update the stacked [L, out, in] weight.
+    # Only the touched layers' deltas cross host->device (a full-shape
+    # zero tensor for a 5B ffn would be GBs over the slow link).
     by_mod: Dict[Tuple, Dict[int, np.ndarray]] = {}
     for (_, layer, mod, proj), d in deltas.items():
         by_mod.setdefault((mod, proj), {})[layer] = d
     for (mod, proj), layer_deltas in by_mod.items():
         w = blocks[mod][proj]["weight"]
-        full = np.zeros(w.shape, np.float32)
-        for layer, d in layer_deltas.items():
-            full[layer] = d
-        neww = (w.astype(jnp.float32) + jnp.asarray(full)).astype(w.dtype)
+        layers = sorted(layer_deltas)
+        idx = jnp.asarray(layers)
+        stack = jnp.asarray(
+            np.stack([layer_deltas[i] for i in layers], dtype=np.float32))
+        # fp32 add on device per touched layer, cast back — same numerics
+        # as the old full-tensor path, but only the deltas leave the host
+        upd = (w[idx].astype(jnp.float32) + stack).astype(w.dtype)
+        neww = w.at[idx].set(upd)
         blocks = {**blocks, mod: {**blocks[mod],
                                   proj: {**blocks[mod][proj],
                                          "weight": neww}}}
