@@ -96,6 +96,8 @@ class DenseTrack3DConfig:
     corr_volume_radius: int = 6    # volume half-extent R_v (13x13 cells)
     flow_bands: int = 10           # sincos bands for the flow embedding
     depth_bands: int = 8
+    compute: str = "float32"       # transformer/encoder compute dtype
+    iters_per_launch: int = 2      # host-chunked launches per window
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
@@ -106,6 +108,10 @@ class DenseTrack3DConfig:
     def dense_reso(self) -> Tuple[int, int]:
         return (self.grid_hw[0] * self.upsample_factor,
                 self.grid_hw[1] * self.upsample_factor)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute == "bfloat16" else jnp.float32
 
     @property
     def token_dim(self) -> int:
@@ -272,8 +278,10 @@ def build_corr_volumes(f0: jnp.ndarray, fmaps: jnp.ndarray,
         def shift_dot(carry, sh, upp=upp, pad=pad):
             sl = jax.lax.dynamic_slice(
                 upp, (0, pad + sh[0], pad + sh[1], 0), (tw, h, w, c))
-            v = jnp.einsum("yxc,tyxc->tyx", f0.astype(jnp.float32),
-                           sl.astype(jnp.float32)) * scale
+            # fp32 accumulation regardless of the (possibly bf16) fmap
+            # compute dtype; volumes are kept fp32
+            v = jnp.einsum("yxc,tyxc->tyx", f0, sl,
+                           preferred_element_type=jnp.float32) * scale
             return carry, v.astype(jnp.float32)
 
         _, vol = jax.lax.scan(shift_dot, 0, shifts)     # [S*S, Tw, h, w]
@@ -390,7 +398,7 @@ def run_transformer(p: dict, tokens: jnp.ndarray,
                     cfg: DenseTrack3DConfig) -> jnp.ndarray:
     """tokens [Tw, N, token_dim] -> refined features [Tw, N, dim]."""
     tw, n, _ = tokens.shape
-    x = linear(tokens, p["in_proj"])
+    x = linear(tokens.astype(cfg.dtype), p["in_proj"])
     x = x + p["time_embed"][:tw, None, :].astype(x.dtype)
     virt = jnp.broadcast_to(p["virtual"][None].astype(x.dtype),
                             (tw, cfg.num_virtual_tracks, cfg.dim))
@@ -465,32 +473,39 @@ def densetrack3d_init(key, cfg: DenseTrack3DConfig) -> dict:
             "feat_proj": linear_init(k4, cfg.latent_dim, cfg.latent_dim)}
 
 
-def _track_window(params: dict, fmaps_w: jnp.ndarray, dgrid_w: jnp.ndarray,
-                  cfg: DenseTrack3DConfig):
-    """Track the regular grid of window frame 0 through the window.
-
-    fmaps_w [Tw, h, w, C]; dgrid_w [Tw, h, w] log-depth on the grid.
-    Returns (pos [Tw, h, w, 2] level-0 cell coords (x, y),
-             logr [Tw, h, w] residual log-depth,
-             vis  [Tw, h, w] logits).
-    """
-    tw, h, w, c = fmaps_w.shape
-    f0 = fmaps_w[0]
-    vols = build_corr_volumes(f0, fmaps_w, cfg)
+def _grid(h: int, w: int) -> jnp.ndarray:
     gx, gy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
                           jnp.arange(h, dtype=jnp.float32), indexing="xy")
-    grid = jnp.stack([gx, gy], axis=-1)                    # [h, w, 2]
-    pos = jnp.broadcast_to(grid[None], (tw, h, w, 2))
-    logr = jnp.zeros((tw, h, w), jnp.float32)
-    logd0 = dgrid_w[0]                                     # [h, w]
-    feats = f0.astype(jnp.float32)
-    tfeat0 = linear(feats, params["feat_proj"])
-    tfeat = tfeat0
+    return jnp.stack([gx, gy], axis=-1)                    # [h, w, 2]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _window_setup_jit(params, fmaps_w, cfg: DenseTrack3DConfig):
+    """Per-window precompute: correlation volumes + initial track
+    features from the window's first frame."""
+    f0 = fmaps_w[0]
+    vols = tuple(build_corr_volumes(f0, fmaps_w, cfg))
+    tfeat0 = linear(f0.astype(jnp.float32), params["feat_proj"])
+    return vols, tfeat0
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _window_iters_jit(params, vols, dgrid_w, state,
+                      cfg: DenseTrack3DConfig, n_iters: int):
+    """`n_iters` refinement iterations over one window (a host-chunked
+    launch: a full window at flagship scale exceeds the axon runtime's
+    ~60 s single-executable watchdog, the same constraint that chunks
+    the denoise scan — CLAUDE.md)."""
+    pos, logr, tfeat, _ = state
+    tw, h, w = dgrid_w.shape
+    c = cfg.latent_dim
+    grid = _grid(h, w)
+    logd0 = dgrid_w[0]
     upd_mask = (jnp.arange(tw) > 0).astype(jnp.float32)[:, None, None]
-    vis = None
-    for _ in range(cfg.iters):
+    vis = jnp.zeros((tw, h, w), jnp.float32)
+    for _ in range(n_iters):
         disp = pos - grid[None]
-        corr = sample_corr(vols, disp, cfg)                # [Tw,h,w,L*49]
+        corr = sample_corr(list(vols), disp, cfg)          # [Tw,h,w,L*49]
         flow_emb = jnp.concatenate(
             [disp, _sincos(disp * 0.25, cfg.flow_bands)], axis=-1)
         # scene log-depth under the current position, per frame
@@ -516,7 +531,25 @@ def _track_window(params: dict, fmaps_w: jnp.ndarray, dgrid_w: jnp.ndarray,
         tfeat = tfeat + dfeat
         vis = linear(y, params["transformer"]["head_vis"]
                      ).astype(jnp.float32)[..., 0]
-    return pos, logr, vis
+    return pos, logr, tfeat, vis
+
+
+@jax.jit
+def _window_chain_jit(wpos, wlogr, wvis, dgrid_w, cur_pos, cur_lr):
+    """Advance the frame-0 grid tracks through this window by sampling
+    its dense fields at their position at the window's first frame; also
+    returns absolute log-depth for the chained frames."""
+    tw, h, w = wlogr.shape
+    cur_flat = cur_pos.reshape(h * w, 2)
+
+    def per_frame(fld):
+        return bilinear_sample(fld, cur_flat).reshape(h, w, -1)
+
+    opos = jax.vmap(per_frame)(wpos)                       # [Tw, h, w, 2]
+    olr = jax.vmap(per_frame)(wlogr[..., None])[..., 0] + cur_lr[None]
+    ovis = jax.vmap(per_frame)(wvis[..., None])[..., 0]
+    dsamp = jax.vmap(bilinear_sample)(dgrid_w, opos)
+    return opos, olr, ovis, dsamp + olr
 
 
 def _window_starts(t: int, cfg: DenseTrack3DConfig) -> np.ndarray:
@@ -527,10 +560,25 @@ def _window_starts(t: int, cfg: DenseTrack3DConfig) -> np.ndarray:
     return np.asarray(starts, np.int32)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(2,))
+def _precompute_jit(params, video_depth, cfg: DenseTrack3DConfig):
+    video, videodepth = video_depth
+    frames = ((video.astype(jnp.float32) - 0.5) / 0.5).astype(cfg.dtype)
+    fmaps = encode_frames(params["encoder"], frames)       # [T, h, w, C]
+    dlog = jnp.log(jnp.maximum(videodepth.astype(jnp.float32), 1e-4))
+    dgrid = jax.lax.reduce_window(
+        dlog, 0.0, jax.lax.add,
+        (1, cfg.stride, cfg.stride), (1, cfg.stride, cfg.stride),
+        "VALID") / float(cfg.stride ** 2)                  # [T, h, w]
+    return fmaps, dgrid
+
+
 def dense_track(params: dict, video: jnp.ndarray, videodepth: jnp.ndarray,
-                cfg: DenseTrack3DConfig, t_real: int):
-    """Core tracker at model resolution.
+                cfg: DenseTrack3DConfig, t_real: int = 0):
+    """Core tracker at model resolution — host-chunked over windows and
+    iteration groups (each launch stays under the runtime's ~60 s
+    single-executable watchdog at flagship scale; compiles are shared
+    across windows because every launch has identical shapes).
 
     video [T, Hm, Wm, 3] in 0..1; videodepth [T, Hm, Wm] metric.
     Returns coarse buffers over the frame-0 dense grid:
@@ -542,55 +590,41 @@ def dense_track(params: dict, video: jnp.ndarray, videodepth: jnp.ndarray,
     del t_real
     t = video.shape[0]
     h, w = cfg.grid_hw
-    frames = (video.astype(jnp.float32) - 0.5) / 0.5
-    fmaps = encode_frames(params["encoder"], frames)       # [T, h, w, C]
-    dlog = jnp.log(jnp.maximum(videodepth.astype(jnp.float32), 1e-4))
-    dgrid = jax.lax.reduce_window(
-        dlog, 0.0, jax.lax.add,
-        (1, cfg.stride, cfg.stride), (1, cfg.stride, cfg.stride),
-        "VALID") / float(cfg.stride ** 2)                  # [T, h, w]
+    wl = cfg.window_len
+    fmaps, dgrid = _precompute_jit(params, (video, videodepth), cfg)
 
-    starts = jnp.asarray(_window_starts(t, cfg))
-    gx, gy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
-                          jnp.arange(h, dtype=jnp.float32), indexing="xy")
-    grid = jnp.stack([gx, gy], axis=-1)
-    pos_buf = jnp.broadcast_to(grid[None], (t, h, w, 2)).astype(jnp.float32)
-    logr_buf = jnp.zeros((t, h, w), jnp.float32)
-    vis_buf = jnp.full((t, h, w), 3.0, jnp.float32)
+    pos_buf = np.broadcast_to(
+        np.asarray(_grid(h, w))[None], (t, h, w, 2)).copy()
+    logd_buf = np.zeros((t, h, w), np.float32)
+    vis_buf = np.full((t, h, w), 3.0, np.float32)
+    logr_buf = np.zeros((t, h, w), np.float32)
+    grid_dev = _grid(h, w)
 
-    def body(carry, s):
-        pos_buf, logr_buf, vis_buf = carry
-        fm_w = jax.lax.dynamic_slice(
-            fmaps, (s, 0, 0, 0), (cfg.window_len, h, w, cfg.latent_dim))
-        dg_w = jax.lax.dynamic_slice(
-            dgrid, (s, 0, 0), (cfg.window_len, h, w))
-        wpos, wlogr, wvis = _track_window(params, fm_w, dg_w, cfg)
-        # chain: advance the frame-0 grid tracks through this window by
-        # sampling the window's dense fields at their position at frame s
-        cur = jax.lax.dynamic_slice(
-            pos_buf, (s, 0, 0, 0), (1, h, w, 2))[0]        # [h, w, 2]
-        cur_lr = jax.lax.dynamic_slice(
-            logr_buf, (s, 0, 0), (1, h, w))[0]
-        cur_flat = cur.reshape(h * w, 2)
-
-        def per_frame(fld):
-            return bilinear_sample(fld, cur_flat).reshape(h, w, -1)
-
-        opos = jax.vmap(per_frame)(wpos)                   # [Tw, h, w, 2]
-        olr = jax.vmap(per_frame)(wlogr[..., None])[..., 0] + cur_lr[None]
-        ovis = jax.vmap(per_frame)(wvis[..., None])[..., 0]
-        pos_buf = jax.lax.dynamic_update_slice(pos_buf, opos, (s, 0, 0, 0))
-        logr_buf = jax.lax.dynamic_update_slice(logr_buf, olr, (s, 0, 0))
-        vis_buf = jax.lax.dynamic_update_slice(vis_buf, ovis, (s, 0, 0))
-        return (pos_buf, logr_buf, vis_buf), 0
-
-    (pos_buf, logr_buf, vis_buf), _ = jax.lax.scan(
-        body, (pos_buf, logr_buf, vis_buf), starts)
-    # absolute log-depth: scene depth sampled at the final positions,
-    # corrected by the accumulated residual
-    dsamp = jax.vmap(bilinear_sample)(dgrid, pos_buf)
-    logd = dsamp + logr_buf
-    return pos_buf, logd, vis_buf, fmaps[0]
+    ipl = max(1, int(cfg.iters_per_launch))
+    for s in _window_starts(t, cfg):
+        s = int(s)
+        fm_w = fmaps[s:s + wl]
+        dg_w = dgrid[s:s + wl]
+        vols, tfeat0 = _window_setup_jit(params, fm_w, cfg)
+        state = (jnp.broadcast_to(grid_dev[None], (wl, h, w, 2)),
+                 jnp.zeros((wl, h, w), jnp.float32), tfeat0,
+                 jnp.zeros((wl, h, w), jnp.float32))
+        done = 0
+        while done < cfg.iters:
+            k = min(ipl, cfg.iters - done)
+            state = _window_iters_jit(params, vols, dg_w, state, cfg, k)
+            done += k
+        wpos, wlogr, _, wvis = state
+        opos, olr, ovis, ologd = _window_chain_jit(
+            wpos, wlogr, wvis, dg_w,
+            jnp.asarray(pos_buf[s]), jnp.asarray(logr_buf[s]))
+        pos_buf[s:s + wl] = np.asarray(opos)
+        logr_buf[s:s + wl] = np.asarray(olr)
+        vis_buf[s:s + wl] = np.asarray(ovis)
+        logd_buf[s:s + wl] = np.asarray(ologd)
+    fmap0 = fmaps[0].astype(jnp.float32)
+    return (jnp.asarray(pos_buf), jnp.asarray(logd_buf),
+            jnp.asarray(vis_buf), fmap0)
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -639,13 +673,17 @@ class DenseTrack3D:
 
     def __init__(self, stride=4, window_len=16, add_space_attn=True,
                  num_virtual_tracks=64, model_resolution=(384, 512),
-                 upsample_factor=4, seed: int = 0, **internals):
+                 upsample_factor=4, seed: int = 0,
+                 compute: str = "bfloat16", **internals):
+        # production default bf16: halves the per-launch time of the
+        # transformer iterations (fp32 accumulation everywhere that
+        # matters); tests pin float32 for tight tolerances
         self.cfg = DenseTrack3DConfig(
             stride=stride, window_len=window_len,
             add_space_attn=add_space_attn,
             num_virtual_tracks=num_virtual_tracks,
             model_resolution=tuple(model_resolution),
-            upsample_factor=upsample_factor, **internals)
+            upsample_factor=upsample_factor, compute=compute, **internals)
         self.params = densetrack3d_init(jax.random.key(seed), self.cfg)
 
     def load_state_dict(self, state_dict, strict: bool = False):

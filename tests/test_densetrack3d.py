@@ -29,7 +29,8 @@ from flexam_tpu.perception.densetrack3d import (
 
 TINY = dict(stride=4, window_len=8, model_resolution=(64, 96),
             upsample_factor=4, latent_dim=32, dim=64, num_heads=4,
-            num_blocks=2, iters=2, num_virtual_tracks=8)
+            num_blocks=2, iters=2, num_virtual_tracks=8,
+            compute="float32")   # tight tolerances; production is bf16
 
 
 @pytest.fixture(scope="module")
