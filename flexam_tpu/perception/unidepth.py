@@ -90,6 +90,13 @@ class UniDepthV2Config:
     pixels_min: int = 200_000
     pixels_max: int = 600_000
     ratio_bounds: Tuple[float, float] = (0.5, 2.5)
+    compute: str = "bfloat16"      # forward dtype (fp32 accumulation in
+                                   # norms/softmax; tests pin float32)
+
+    @property
+    def dtype(self):
+        import jax.numpy as _jnp
+        return _jnp.bfloat16 if self.compute == "bfloat16" else _jnp.float32
 
     @property
     def num_slices(self) -> int:
@@ -616,7 +623,8 @@ def unidepth_init(key, cfg: UniDepthV2Config):
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _forward_jit(params, x, image_hw, cfg):
-    feats, clss = encode_image(params["pixel_encoder"], x, cfg)
+    feats, clss = encode_image(params["pixel_encoder"],
+                               x.astype(cfg.dtype), cfg)
     return decode(params["pixel_decoder"], feats, clss, image_hw, cfg)
 
 
@@ -664,7 +672,9 @@ class UniDepthV2:
     def eval(self):
         return self
 
-    def infer(self, rgb, camera=None, normalize=True):
+    def infer(self, rgb, camera=None, normalize=True, keys=None):
+        """keys=("depth",) enables a fetch-light fast path (video use);
+        None returns the reference's full dict."""
         cfg = self.cfg
         arr = np.asarray(rgb, np.float32)
         if arr.ndim == 3:
@@ -696,6 +706,15 @@ class UniDepthV2:
             t = _resize_bilinear(t, (ph, pw))
             return np.asarray(t[:, pt:ph - pb, pl:pw - pr])
 
+        if keys is not None and set(keys) == {"depth"}:
+            # video-depth fast path: the full dict fetches points/rays/
+            # confidence too (~90 MB fp32 per 8-frame chunk over the
+            # slow host link — it dominated the flagship runtime);
+            # depth alone ships as fp16
+            d = _resize_bilinear(out["depth"][..., None], (ph, pw))
+            d = d[:, pt:ph - pb, pl:pw - pr, 0].astype(jnp.float16)
+            return {"depth": np.asarray(d)[:, None].astype(np.float32)}
+
         depth = post(out["depth"])                    # [B, H, W, 1]
         conf = post(out["confidence"])
         points = post(out["points"])
@@ -724,7 +743,8 @@ def predict_depth_video(model: UniDepthV2, video: np.ndarray,
     t = video.shape[0]
     outs = []
     for i in range(0, t, chunk):
-        pred = model.infer(video[i:i + chunk].transpose(0, 3, 1, 2) * 255)
+        pred = model.infer(video[i:i + chunk].transpose(0, 3, 1, 2) * 255,
+                           keys=("depth",))
         outs.append(pred["depth"][:, 0])
     return np.concatenate(outs, axis=0)
 
@@ -914,6 +934,10 @@ def _unidepth_backend(video: np.ndarray, model: Optional[UniDepthV2] = None,
     ~1.2 GB of ViT-L weights over the slow host link costs minutes."""
     import os
     import sys
+    # 8-frame launches: a 32-frame ViT-L fp-chunk at the flagship pixel
+    # budget is a >60 s executable on this chip (axon watchdog);
+    # predict_depth_video keeps the reference's 32 for parity use
+    chunk = min(chunk, 8)
     if model is None:
         ckpt = os.environ.get("FLEXAM_UNIDEPTH_CKPT")
         key = ckpt if (ckpt and os.path.exists(ckpt)) else "__random__"

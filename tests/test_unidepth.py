@@ -23,6 +23,7 @@ TINY = dict(
     pretrain_img_size=28, hidden_dim=16, dec_num_heads=2, expansion=2,
     dec_depths=(1, 1, 1), out_dim=4, kernel_size=3, layer_scale=1.0,
     pixels_min=28 * 28, pixels_max=56 * 56, ratio_bounds=(0.5, 2.0),
+    compute="float32",   # tight oracle tolerances; production is bf16
 )
 
 
