@@ -179,18 +179,18 @@ class FlexAMV2VSampler:
             if self._lora_before.get(key) != now:
                 print("Merge Lora with Cache")
                 self._lora_before[key] = now
-                pipe.models.dit_params = jax.device_put(self._lora_cache[key])
+                pipe.set_dit_params(jax.device_put(self._lora_cache[key]))
                 for path, w in zip(loras, strengths):
-                    pipe.models.dit_params = merge_lora(
-                        pipe.models.dit_params, load_file(path), w)
+                    pipe.set_dit_params(merge_lora(
+                        pipe.models.dit_params, load_file(path), w))
             return []
         if key in self._lora_cache:     # cache -> no-cache transition
-            pipe.models.dit_params = jax.device_put(self._lora_cache.pop(key))
+            pipe.set_dit_params(jax.device_put(self._lora_cache.pop(key)))
             self._lora_before.pop(key, None)
         merged = []
         for path, w in zip(loras, strengths):
-            pipe.models.dit_params = merge_lora(
-                pipe.models.dit_params, load_file(path), w)
+            pipe.set_dit_params(merge_lora(
+                pipe.models.dit_params, load_file(path), w))
             merged.append((path, w))
         return merged
 
@@ -254,8 +254,8 @@ class FlexAMV2VSampler:
 
             from flexam_tpu.utils.lora import unmerge_lora
             for path, w in reversed(merged_loras):
-                pipe.models.dit_params = unmerge_lora(
-                    pipe.models.dit_params, load_file(path), w)
+                pipe.set_dit_params(unmerge_lora(
+                    pipe.models.dit_params, load_file(path), w))
         return (out,)
 
 

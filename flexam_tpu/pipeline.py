@@ -815,9 +815,23 @@ class FlexAMGenerationPipeline:
         cpu-offload/sequential modes, `wan2_2_fun_flexam/nodes.py:322-346`).
         `restore_dit()` puts them back; `release_dit()` drops them (the
         one-shot demo pattern — the reference deletes each model after its
-        phase, `pipelines.py:187-193,1496-1499`)."""
-        self._dit_host = jax.device_get(self.models.dit_params)
+        phase, `pipelines.py:187-193,1496-1499`).
+
+        The host copy is CACHED across offload cycles: over the axon link
+        a 10 GB device_get takes minutes, and the weights don't change
+        between decodes. Anything that swaps the device weights (LoRA
+        merge, fp8 conversion) must call `set_dit_params` so the cache
+        invalidates."""
+        if getattr(self, "_dit_host", None) is None:
+            self._dit_host = jax.device_get(self.models.dit_params)
         self.models.dit_params = None
+
+    def set_dit_params(self, params):
+        """Replace the DiT weights AND invalidate the offload host copy
+        (use this instead of assigning `models.dit_params` directly when
+        a host copy may exist)."""
+        self.models.dit_params = params
+        self._dit_host = None
 
     def restore_dit(self):
         if self.models.dit_params is None and getattr(self, "_dit_host", None) is not None:
