@@ -262,3 +262,38 @@ def test_prepare_from_tracks_fg_edit_parity(pipe):
         raster_mask=raster_mask, video=video, mask_video=mask01,
         ref_image=ref)
     _cond_close(cond_dev, cond_host, atol=5e-3)
+
+
+def test_generate_with_forced_offload_and_host_cache(pipe):
+    """generate_from_cond with offload_dit_for_decode=True: the decode
+    runs with the DiT offloaded, weights restore afterwards, and the
+    SECOND offload cycle reuses the cached host copy (over the real
+    link a repeated 10 GB device_get costs minutes)."""
+    video, mask, control, depth, cos, ref = _inputs(seed=11)
+    ids = np.arange(16, dtype=np.int32)[None] % 100
+    attn_mask = np.ones((1, 16), np.int32)
+    ctx1 = pipe.encode_prompt_ids(ids, attn_mask)
+    context = jnp.concatenate([ctx1, ctx1], axis=0)
+    cond = pipe.prepare_conditioning(video, mask, control, depth, cos, ref)
+    before = jax.tree_util.tree_map(np.asarray, pipe.models.dit_params)
+
+    out = pipe.generate_from_cond(cond, context, num_inference_steps=2,
+                                  seed=3, density=1 / 10,
+                                  offload_dit_for_decode=True)
+    assert out.shape == (1, 3, T, H, W)
+    assert out.dtype == np.float32 and out.min() >= 0 and out.max() <= 1
+    assert pipe.models.dit_params is not None          # restored
+    host1 = pipe._dit_host
+    assert host1 is not None                           # cached copy kept
+
+    out2 = pipe.generate_from_cond(cond, context, num_inference_steps=2,
+                                   seed=3, density=1 / 10,
+                                   offload_dit_for_decode=True)
+    assert pipe._dit_host is host1                     # cache reused
+    np.testing.assert_array_equal(out, out2)           # deterministic
+    after = jax.tree_util.tree_map(np.asarray, pipe.models.dit_params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, before, after)
+
+    # swapping weights invalidates the cache
+    pipe.set_dit_params(pipe.models.dit_params)
+    assert pipe._dit_host is None
