@@ -155,3 +155,33 @@ def test_lora_train_step_freezes_base():
     jax.tree_util.tree_map(
         np.testing.assert_array_equal, base_before,
         jax.tree_util.tree_map(np.asarray, params))
+
+
+def test_lora_train_step_sharded():
+    """LoRA fine-tuning under the dp/sp/tp mesh: the frozen base is
+    sharded like inference, the low-rank factors are replicated, and the
+    jitted step runs on 8 virtual devices."""
+    import optax
+    from flexam_tpu.train import lora_train_step
+    from flexam_tpu.utils.lora import init_lora_params
+    mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2},
+                     devices=jax.devices()[:8])
+    cfg = tiny_test_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg.dit,
+                             dtype=jnp.float32)
+    shardings = dit_param_shardings(mesh, params)
+    params = shard_pytree(params, shardings)
+    lora = init_lora_params(jax.random.PRNGKey(9), params, rank=2)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(lora["blocks"])
+    batch = _batch(cfg, np.random.RandomState(2))
+    with activation_sharding(mesh):
+        step = jax.jit(lambda bp, lp, os, k: lora_train_step(
+            bp, lp, os, tx, cfg.dit, batch, k))
+        lora2, opt_state, loss = step(params, lora, opt_state,
+                                      jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        lora["blocks"], lora2["blocks"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
