@@ -593,12 +593,15 @@ def dense_track(params: dict, video: jnp.ndarray, videodepth: jnp.ndarray,
     wl = cfg.window_len
     fmaps, dgrid = _precompute_jit(params, (video, videodepth), cfg)
 
-    pos_buf = np.broadcast_to(
-        np.asarray(_grid(h, w))[None], (t, h, w, 2)).copy()
-    logd_buf = np.zeros((t, h, w), np.float32)
-    vis_buf = np.full((t, h, w), 3.0, np.float32)
-    logr_buf = np.zeros((t, h, w), np.float32)
+    # buffers stay ON DEVICE across windows (the host loop never inspects
+    # values; per-window host round-trips would ship ~50 MB fp32 over the
+    # slow link for nothing) — window starts are python ints, so the
+    # updates are static slices sharing one compile
     grid_dev = _grid(h, w)
+    pos_buf = jnp.broadcast_to(grid_dev[None], (t, h, w, 2))
+    logd_buf = jnp.zeros((t, h, w), jnp.float32)
+    vis_buf = jnp.full((t, h, w), 3.0, jnp.float32)
+    logr_buf = jnp.zeros((t, h, w), jnp.float32)
 
     ipl = max(1, int(cfg.iters_per_launch))
     for s in _window_starts(t, cfg):
@@ -616,15 +619,15 @@ def dense_track(params: dict, video: jnp.ndarray, videodepth: jnp.ndarray,
             done += k
         wpos, wlogr, _, wvis = state
         opos, olr, ovis, ologd = _window_chain_jit(
-            wpos, wlogr, wvis, dg_w,
-            jnp.asarray(pos_buf[s]), jnp.asarray(logr_buf[s]))
-        pos_buf[s:s + wl] = np.asarray(opos)
-        logr_buf[s:s + wl] = np.asarray(olr)
-        vis_buf[s:s + wl] = np.asarray(ovis)
-        logd_buf[s:s + wl] = np.asarray(ologd)
+            wpos, wlogr, wvis, dg_w, pos_buf[s], logr_buf[s])
+        pos_buf = jax.lax.dynamic_update_slice(pos_buf, opos,
+                                               (s, 0, 0, 0))
+        logr_buf = jax.lax.dynamic_update_slice(logr_buf, olr, (s, 0, 0))
+        vis_buf = jax.lax.dynamic_update_slice(vis_buf, ovis, (s, 0, 0))
+        logd_buf = jax.lax.dynamic_update_slice(logd_buf, ologd,
+                                                (s, 0, 0))
     fmap0 = fmaps[0].astype(jnp.float32)
-    return (jnp.asarray(pos_buf), jnp.asarray(logd_buf),
-            jnp.asarray(vis_buf), fmap0)
+    return pos_buf, logd_buf, vis_buf, fmap0
 
 
 @partial(jax.jit, static_argnums=(4,))

@@ -704,7 +704,10 @@ class UniDepthV2:
         def post(t):                                  # [B, nh, nw(, C)]
             t = t if t.ndim == 4 else t[..., None]
             t = _resize_bilinear(t, (ph, pw))
-            return np.asarray(t[:, pt:ph - pb, pl:pw - pr])
+            # reference-parity surface returns float32 regardless of the
+            # bf16 compute dtype (ml_dtypes arrays break cv2/torch users)
+            return np.asarray(t[:, pt:ph - pb, pl:pw - pr]
+                              ).astype(np.float32)
 
         if keys is not None and set(keys) == {"depth"}:
             # video-depth fast path: the full dict fetches points/rays/
@@ -722,7 +725,8 @@ class UniDepthV2:
         rays = rays / np.clip(np.linalg.norm(rays, axis=-1, keepdims=True),
                               1e-5, None)
         scale = f          # the reference divides by the single resize
-        intr = np.asarray(out["intrinsics"]).copy()   # factor (:99-107)
+        intr = np.asarray(out["intrinsics"],          # factor (:99-107)
+                          np.float32).copy()
         intr[:, 0, 0] /= scale
         intr[:, 1, 1] /= scale
         intr[:, 0, 2] = intr[:, 0, 2] / scale - pl
@@ -926,7 +930,7 @@ _BACKEND_CACHE: dict = {}
 
 
 def _unidepth_backend(video: np.ndarray, model: Optional[UniDepthV2] = None,
-                      chunk: int = 32, **kw) -> np.ndarray:
+                      chunk: Optional[int] = None, **kw) -> np.ndarray:
     """Depth-registry backend: FLEXAM_UNIDEPTH_CKPT points at the
     checkpoint; without it a random-weight model runs (smoke only, warns).
     The loaded model is cached per checkpoint path — one demo run calls
@@ -934,10 +938,11 @@ def _unidepth_backend(video: np.ndarray, model: Optional[UniDepthV2] = None,
     ~1.2 GB of ViT-L weights over the slow host link costs minutes."""
     import os
     import sys
-    # 8-frame launches: a 32-frame ViT-L fp-chunk at the flagship pixel
-    # budget is a >60 s executable on this chip (axon watchdog);
-    # predict_depth_video keeps the reference's 32 for parity use
-    chunk = min(chunk, 8)
+    # default to 8-frame launches: a 32-frame ViT-L chunk at the flagship
+    # pixel budget is a >60 s executable on this chip (axon watchdog);
+    # an explicit chunk= passes through untouched
+    if chunk is None:
+        chunk = 8
     if model is None:
         ckpt = os.environ.get("FLEXAM_UNIDEPTH_CKPT")
         key = ckpt if (ckpt and os.path.exists(ckpt)) else "__random__"

@@ -822,24 +822,34 @@ class FlexAMGenerationPipeline:
         between decodes. Anything that swaps the device weights (LoRA
         merge, fp8 conversion) must call `set_dit_params` so the cache
         invalidates."""
-        if getattr(self, "_dit_host", None) is None:
-            self._dit_host = jax.device_get(self.models.dit_params)
+        cur = self.models.dit_params
+        # identity-checked cache: if anything swapped the device weights
+        # since the cached copy was taken (even via direct assignment,
+        # bypassing set_dit_params), re-fetch rather than risk restoring
+        # stale weights silently
+        if (getattr(self, "_dit_host", None) is None
+                or getattr(self, "_dit_src", None) is not cur):
+            self._dit_host = jax.device_get(cur)
         self.models.dit_params = None
+        self._dit_src = None
 
     def set_dit_params(self, params):
         """Replace the DiT weights AND invalidate the offload host copy
-        (use this instead of assigning `models.dit_params` directly when
-        a host copy may exist)."""
+        (direct assignment is also detected via identity, but this is
+        the explicit path)."""
         self.models.dit_params = params
         self._dit_host = None
+        self._dit_src = None
 
     def restore_dit(self):
         if self.models.dit_params is None and getattr(self, "_dit_host", None) is not None:
             self.models.dit_params = jax.device_put(self._dit_host)
+            self._dit_src = self.models.dit_params
 
     def release_dit(self):
         self.models.dit_params = None
         self._dit_host = None
+        self._dit_src = None
 
     def generate(self, video, prompt, mask_video=None, control_video=None,
                  depth_video=None, cos_videos=None, ref_image=None,

@@ -70,5 +70,5 @@ def test_flow_tracker_occlusion_detection():
     tracks, vis = track_video_flow(video, density=12)
     # points starting near the right edge exit within the clip
     exiting = tracks[0, :, 0] > w - 8.0 * (t - 2)
-    if exiting.sum() >= 3:
-        assert vis[t - 1, exiting].mean() < 0.6
+    assert exiting.sum() >= 3         # deterministic scene: never vacuous
+    assert vis[t - 1, exiting].mean() < 0.6
