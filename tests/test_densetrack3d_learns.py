@@ -1,0 +1,104 @@
+"""DenseTrack3D trainability: the architecture LEARNS to track.
+
+Shape tests prove plumbing; this proves function: gradients flow through
+the correlation volumes, update transformer and window machinery, and a
+few dozen adam steps on synthetic uniform-translation clips reduce the
+endpoint error of the predicted tracks well below the random-init error.
+(No oracle exists for DELTA — the submodule is empty — so demonstrated
+learnability is the strongest available evidence the implementation is a
+working tracker, not just a shape-correct graph.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from flexam_tpu.perception.densetrack3d import (DenseTrack3DConfig,
+                                                _grid,
+                                                _window_iters_jit,
+                                                _window_setup_jit,
+                                                densetrack3d_init,
+                                                encode_frames)
+
+CFG = DenseTrack3DConfig(
+    stride=4, window_len=4, model_resolution=(32, 48), upsample_factor=4,
+    latent_dim=16, dim=48, num_heads=4, num_blocks=2, iters=2,
+    num_virtual_tracks=4, corr_levels=2, corr_volume_radius=3,
+    corr_radius=1, compute="float32")
+
+
+def _clip(rng, dx, dy, t=4, h=32, w=48):
+    """Textured clip translating by (dx, dy) px/frame + its ground-truth
+    grid displacement in CELL units."""
+    base = rng.rand(h // 4 + 4, w // 4 + 4, 3)
+    import cv2
+    big = cv2.resize(base.astype(np.float32), (w + 16, h + 16),
+                     interpolation=cv2.INTER_CUBIC)
+    frames = np.zeros((t, h, w, 3), np.float32)
+    for i in range(t):
+        m = np.float32([[1, 0, dx * i], [0, 1, dy * i]])
+        sh = cv2.warpAffine(big, m, (big.shape[1], big.shape[0]))
+        frames[i] = sh[8:8 + h, 8:8 + w]
+    # displacement of a grid point per frame, in stride-4 cell units
+    disp = np.stack([np.full(t, dx), np.full(t, dy)],
+                    axis=-1) * np.arange(t)[:, None] / CFG.stride
+    return np.clip(frames, 0, 1), disp.astype(np.float32)
+
+
+def _forward(params, frames, cfg):
+    """One window of tracking; returns pos [Tw, h, w, 2] (cells)."""
+    x = ((jnp.asarray(frames) - 0.5) / 0.5)
+    fmaps = encode_frames(params["encoder"], x)
+    dgrid = jnp.zeros((frames.shape[0], *cfg.grid_hw), jnp.float32)
+    vols, tfeat0 = _window_setup_jit(params, fmaps, cfg)
+    h, w = cfg.grid_hw
+    wl = frames.shape[0]
+    grid = _grid(h, w)
+    state = (jnp.broadcast_to(grid[None], (wl, h, w, 2)),
+             jnp.zeros((wl, h, w), jnp.float32), tfeat0,
+             jnp.zeros((wl, h, w), jnp.float32))
+    state = _window_iters_jit(params, vols, dgrid, state, cfg, cfg.iters)
+    return state[0] - grid[None]        # displacement in cells
+
+
+@pytest.mark.slow
+def test_tracker_learns_uniform_translation():
+    rng = np.random.RandomState(0)
+    params = densetrack3d_init(jax.random.key(0), CFG)
+    motions = [(1.5, 0.0), (0.0, 1.0), (-1.0, 0.5), (1.0, -1.0),
+               (0.5, 0.5), (-0.5, -1.0)]
+    clips = [_clip(rng, dx, dy) for dx, dy in motions for _ in range(2)]
+
+    def loss_fn(p, frames, disp):
+        pred = _forward(p, frames, CFG)
+        tgt = jnp.asarray(disp)[:, None, None, :]
+        # interior cells only (border cells lose texture support); frame 0
+        # is identity by construction — exclude it from the loss
+        return jnp.abs(pred[1:, 2:-2, 2:-2] - tgt[1:]).mean()
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    def eval_err(p):
+        errs = []
+        for f, d in clips[:4]:
+            pred = np.asarray(_forward(p, f, CFG))[1:, 2:-2, 2:-2]
+            errs.append(float(np.abs(pred - d[1:, None, None]).mean()))
+        return float(np.mean(errs))
+
+    err0 = eval_err(params)
+    losses = []
+    for step in range(300):
+        f, d = clips[step % len(clips)]
+        loss, grads = grad_fn(params, f, d)
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    err1 = eval_err(params)
+    # random init predicts ~zero motion (error ~= |disp|); training must
+    # cut the endpoint error by at least half
+    assert np.isfinite(losses).all()
+    assert err1 < 0.6 * err0, (err0, err1, losses[:3], losses[-3:])
