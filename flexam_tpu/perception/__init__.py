@@ -1,3 +1,27 @@
+"""Perception subsystem — native replacements for the reference's
+external GPU checkpoints (all shipped as EMPTY submodules in the
+snapshot, SURVEY.md §2.6):
+
+  densetrack3d  DELTA-family dense 3D tracker (trainability-tested;
+                shape-mapped densetrack3d.pth loader)
+  unidepth      UniDepth V2 metric depth — ORACLE-PARITY port of the
+                vendored torch source (exact checkpoint name map)
+  moge          MoGe-2 point map / mask / intrinsics (exact focal/shift
+                camera-recovery solver)
+  dwpose        DWPose person detection + pose decode (parity vs the
+                vendored pre/post; cv2.dnn ONNX inference)
+  pose_render   OpenPose skeleton drawing (pixel-exact vs vendored)
+  pose_solver   camera extrinsics from 3D tracks (robust Kabsch) — the
+                native replacement for the VGGT/Pi3 pose step
+  tracking      optical-flow baseline tracker + DELTA dispatch
+  depth         pluggable depth-backend registry
+  poses         VGGT/Pi3 pose-encoding post-processing + npz fixtures
+
+Checkpoint env vars: FLEXAM_DELTA_CKPT, FLEXAM_UNIDEPTH_CKPT,
+FLEXAM_MOGE_CKPT, FLEXAM_DWPOSE_DET + FLEXAM_DWPOSE_POSE. Every path
+degrades gracefully without weights (flow tracker, luminance depth,
+fixtures)."""
+
 from flexam_tpu.perception.depth import (  # noqa: F401
     estimate_depth,
     register_depth_backend,
