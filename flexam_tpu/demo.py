@@ -193,13 +193,16 @@ def main(argv=None):
     else:
         input_video = np.zeros((1, 3, args.video_length, h, w), np.float32)
 
-    # ---- repaint (path input; FLUX repaint is an external model) ----
+    # ---- repaint (path input, or native depth-conditioned generation) ----
     repaint = None
+    repaint_native = False
     if args.repaint and args.repaint.lower() != "true":
         repaint = get_image_latent(args.repaint, (h, w))
     elif args.repaint:
-        print("WARNING: --repaint true requires the external FLUX.1-Depth "
-              "model; pass a repainted image path instead.", file=sys.stderr)
+        # `--repaint true`: the reference runs FLUX.1-Depth here
+        # (`pipelines.py:137-173`); natively we generate the frame with
+        # the FlexAM model's own depth conditioning (after models load)
+        repaint_native = True
 
     # ---- tracks ----
     cam = CameraMotionGenerator(args.camera_motion or "",
@@ -312,6 +315,21 @@ def main(argv=None):
     orch = FlexAMOrchestrator(
         pipe, output_dir=args.output_dir, fps=args.fps,
         save_tracking=args.save_artifacts or args.host_rasterize)
+
+    if repaint_native:
+        from flexam_tpu.perception.depth import estimate_depth
+        from flexam_tpu.repaint import (FirstFrameRepainter,
+                                        make_flexam_repaint_fn)
+        print("NOTE: --repaint true -> native depth-conditioned "
+              "single-frame generation (the reference uses external "
+              "FLUX.1-Depth here)")
+        rp = FirstFrameRepainter(
+            h, w, args.output_dir,
+            depth_fn=lambda img: estimate_depth(
+                (np.asarray(img, np.float32) / 255.0)[None])[0],
+            repaint_fn=make_flexam_repaint_fn(pipe, seed=args.seed))
+        repaint = rp.repaint(np.asarray(input_video)[0, :, 0], args.prompt,
+                             num_inference_steps=args.num_inference_steps)
 
     # ---- inpaint video + mask per mode (`demo.py:361-395`) ----
     if args.generate_type == "full_edit":

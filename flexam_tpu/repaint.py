@@ -79,3 +79,36 @@ class FirstFrameRepainter:
             pass
         return (out.astype(np.float32) / 255.0
                 ).transpose(2, 0, 1)[None, :, None]
+
+
+def make_flexam_repaint_fn(pipe, seed: int = 1234):
+    """Native repaint backend: depth-conditioned SINGLE-FRAME generation
+    with the FlexAM model itself.
+
+    The reference reaches for FLUX.1-Depth-dev (an external image model,
+    `pipelines.py:137-173`) because it has no depth-conditioned generator
+    of its own — but this stack does: the FlexAM DiT takes a depth
+    control stream natively. A 1-frame clip generated with only the
+    depth channel active (no tracking, everything masked as "generate")
+    is a depth-conditioned image generation using the checkpoints the
+    user already has — zero external models.
+
+    Returns a `repaint_fn(prompt, depth, h, w, num_inference_steps=30,
+    guidance_scale=7.5) -> uint8 [H, W, 3]` for FirstFrameRepainter.
+    """
+    def fn(prompt, depth, height, width, num_inference_steps=30,
+           guidance_scale=7.5):
+        d = np.asarray(depth, np.float32)
+        d = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+        d3 = np.repeat(d[None], 3, axis=0)[None, :, None]  # [1,3,1,H,W]
+        zeros = np.zeros((1, 3, 1, height, width), np.float32)
+        out = pipe.generate(
+            zeros, prompt,
+            mask_video=np.ones((1, 1, 1, height, width), np.float32),
+            control_video=zeros, depth_video=d3,
+            cos_videos=[zeros] * 4,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, seed=seed, density=0.0)
+        frame = np.asarray(out)[0, :, 0].transpose(1, 2, 0)
+        return (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+    return fn

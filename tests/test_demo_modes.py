@@ -165,3 +165,17 @@ def test_camera_with_solved_poses(fixtures, tmp_path):
                  "--camera_motion", "trans 0.05 0 0.1",
                  "--output_dir", str(d)])
     _check_result(str(d))
+
+
+def test_repaint_native(fixtures, tmp_path):
+    """--repaint true runs the NATIVE depth-conditioned single-frame
+    generation (the reference calls external FLUX.1-Depth here,
+    `pipelines.py:137-173`) and writes the same temp_repainted.png
+    artifact."""
+    out = str(tmp_path / "rp")
+    main(BASE + ["--generate_type", "full_edit",
+                 "--input_path", fixtures["video"],
+                 "--synthetic_tracks", "--repaint", "true",
+                 "--output_dir", out])
+    _check_result(out)
+    assert os.path.exists(os.path.join(out, "temp_repainted.png"))
