@@ -179,3 +179,18 @@ def test_repaint_native(fixtures, tmp_path):
                  "--output_dir", out])
     _check_result(out)
     assert os.path.exists(os.path.join(out, "temp_repainted.png"))
+
+
+def test_full_native_video_path(fixtures, tmp_path):
+    """The complete video-input story with ZERO fixtures or checkpoints:
+    built-in flow tracker -> depth registry -> solved camera poses ->
+    device prepare -> generation. This is the reference's flagship
+    DELTA+VGGT path (`demo.py:296-325`, `pipelines.py:1362-1499`) running
+    entirely on built-ins."""
+    out = str(tmp_path / "native")
+    main(BASE + ["--generate_type", "full_edit",
+                 "--input_path", fixtures["video"],
+                 "--tracking_method", "flow",
+                 "--camera_motion", "trans 0.05 0 0.1",
+                 "--output_dir", out])
+    _check_result(out)
