@@ -76,7 +76,7 @@ class GenerationServer:
                     k=int(riflex_k),
                     L_test=int(payload.get("riflex_L_test", lat_frames)))
             try:
-                if "tracks" in payload:
+                if "tracks" in payload or "track_method" in payload:
                     out = self._generate_from_tracks(payload, kwargs)
                 elif "partial_video_length" in payload:
                     out = self._generate_long(payload, kwargs)
@@ -91,14 +91,33 @@ class GenerationServer:
 
     def _generate_from_tracks(self, payload, kwargs):
         """Tracks cross the wire (KBs) instead of rasterized videos:
-        the device-side rasterizer builds conditioning on-chip."""
-        tracks = _decode_array(payload["tracks"]).astype(np.float32)
-        vis = (_decode_array(payload["visibility"]).astype(bool)
-               if "visibility" in payload else None)
+        the device-side rasterizer builds conditioning on-chip. With
+        `track_method` ("flow"/"delta"/"auto") and no precomputed tracks,
+        the server runs the native tracker on the posted video — the
+        client ships ONLY the clip."""
+        if "tracks" in payload:
+            tracks = _decode_array(payload["tracks"]).astype(np.float32)
+            vis = (_decode_array(payload["visibility"]).astype(bool)
+                   if "visibility" in payload else None)
+        else:
+            from flexam_tpu.perception import (find_delta_checkpoint,
+                                               track_video_delta,
+                                               track_video_flow)
+            video = kwargs.get("video")
+            if video is None:
+                raise ValueError("track_method needs a posted video")
+            method = payload.get("track_method", "auto")
+            density = int(payload.get("track_density", 10))
+            if method == "delta" or (method == "auto"
+                                     and find_delta_checkpoint()):
+                tracks, vis = track_video_delta(video, density=density)
+            else:
+                tracks, vis = track_video_flow(video, density=density)
         first = (_decode_array(payload["first_frame"]).astype(np.float32)
                  if "first_frame" in payload else None)
-        h = int(payload.get("height", 512))
-        w = int(payload.get("width", 896))
+        v_shape = kwargs.get("video").shape if kwargs.get("video") is not None else None
+        h = int(payload.get("height", v_shape[3] if v_shape else 512))
+        w = int(payload.get("width", v_shape[4] if v_shape else 896))
         cond = self.pipe.prepare_conditioning_from_tracks(
             tracks, vis, h, w,
             point_wise=int(payload.get("point_wise", 4)),

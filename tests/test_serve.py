@@ -137,3 +137,26 @@ def test_serve_ui_html_served():
     from flexam_tpu.serve import GenerationServer
     assert "/generate" in GenerationServer.UI_HTML
     assert "Prompt" in GenerationServer.UI_HTML
+
+
+def test_serve_server_side_tracking():
+    """`track_method` with a raw posted video: the SERVER runs the
+    native tracker (flow here) and generates — the client ships only
+    the clip, nothing precomputed."""
+    import pytest
+    pytest.importorskip("cv2")
+    from flexam_tpu.serve import (GenerationServer, _decode_array,
+                                  _encode_array)
+    srv = GenerationServer(_tiny_pipe())
+    rng = np.random.RandomState(3)
+    t, h, w = 9, 32, 32
+    video = rng.rand(1, 3, t, h, w).astype(np.float32)
+    out = srv.handle({
+        "prompt": "server-side tracking",
+        "video": _encode_array(video),
+        "track_method": "flow",
+        "track_density": 8,
+        "num_inference_steps": 1,
+        "density": 0.1,
+    })
+    assert _decode_array(out["video"]).shape == (1, 3, t, h, w)
