@@ -267,19 +267,10 @@ def main(argv=None):
             # the reference's flagship path (`pipelines.py:1362-1499`):
             # DenseTrack3D + depth backend; with no trained checkpoint the
             # optical-flow baseline gives better tracks than random weights
-            from flexam_tpu.perception import (find_delta_checkpoint,
-                                               track_video_delta,
-                                               track_video_flow)
-            ckpt = args.delta_ckpt or find_delta_checkpoint()
-            if ckpt:
-                tracks, vis = track_video_delta(
-                    input_video, density=args.density, ckpt=ckpt)
-            else:
-                print("NOTE: no densetrack3d.pth found (--delta_ckpt / "
-                      "FLEXAM_DELTA_CKPT) — using the optical-flow "
-                      "baseline tracker instead of random weights")
-                tracks, vis = track_video_flow(input_video,
-                                               density=args.density)
+            from flexam_tpu.perception.tracking import dispatch_tracking
+            tracks, vis = dispatch_tracking(
+                input_video, "delta", density=args.density,
+                ckpt=args.delta_ckpt)
         else:
             raise SystemExit(
                 "no tracks: pass --tracks_npz, --synthetic_tracks, a video "

@@ -42,6 +42,27 @@ def find_delta_checkpoint() -> Optional[str]:
     return None
 
 
+def dispatch_tracking(video, method: str = "auto", density: int = 10,
+                      ckpt: Optional[str] = None,
+                      depth_backend: Optional[str] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Shared tracker dispatch (demo CLI + serve): 'delta' uses the
+    learned tracker when a checkpoint exists and FALLS BACK to the flow
+    baseline otherwise (random-weight DELTA produces noise tracks —
+    never serve those silently); 'auto' picks delta iff a checkpoint is
+    found; 'flow' forces the baseline."""
+    method = (method or "auto").lower()
+    ckpt = ckpt or find_delta_checkpoint()
+    if method in ("delta", "auto") and ckpt:
+        return track_video_delta(video, density=density, ckpt=ckpt,
+                                 depth_backend=depth_backend)
+    if method == "delta":
+        print("NOTE: no densetrack3d.pth found — using the optical-flow "
+              "baseline tracker instead of random weights")
+    return track_video_flow(video, density=density,
+                            depth_backend=depth_backend)
+
+
 def track_video_delta(
     video: np.ndarray,                 # [1,3,T,H,W] or [T,H,W,3] in [0,1]
     density: int = 10,

@@ -95,33 +95,39 @@ class GenerationServer:
         `track_method` ("flow"/"delta"/"auto") and no precomputed tracks,
         the server runs the native tracker on the posted video — the
         client ships ONLY the clip."""
+        video = kwargs.get("video")
+        gen_type = payload.get("generate_type", "full_edit")
         if "tracks" in payload:
             tracks = _decode_array(payload["tracks"]).astype(np.float32)
             vis = (_decode_array(payload["visibility"]).astype(bool)
                    if "visibility" in payload else None)
         else:
-            from flexam_tpu.perception import (find_delta_checkpoint,
-                                               track_video_delta,
-                                               track_video_flow)
-            video = kwargs.get("video")
+            from flexam_tpu.perception.tracking import dispatch_tracking
             if video is None:
                 raise ValueError("track_method needs a posted video")
-            method = payload.get("track_method", "auto")
-            density = int(payload.get("track_density", 10))
-            if method == "delta" or (method == "auto"
-                                     and find_delta_checkpoint()):
-                tracks, vis = track_video_delta(video, density=density)
-            else:
-                tracks, vis = track_video_flow(video, density=density)
+            tracks, vis = dispatch_tracking(
+                video, payload.get("track_method", "auto"),
+                density=int(payload.get("track_density", 10)))
         first = (_decode_array(payload["first_frame"]).astype(np.float32)
                  if "first_frame" in payload else None)
-        v_shape = kwargs.get("video").shape if kwargs.get("video") is not None else None
+        if (first is None and video is not None
+                and gen_type == "full_edit"):
+            # motion transfer from a bare clip: anchor on the clip's own
+            # first frame (like the demo, `demo.py`'s full_edit path) —
+            # otherwise the output would be unconditioned on the input
+            first = video[:, :, :1]
+            kwargs = {**kwargs, "video": None}
+            video_for_shape = video
+        else:
+            video_for_shape = video
+        v_shape = (video_for_shape.shape
+                   if video_for_shape is not None else None)
         h = int(payload.get("height", v_shape[3] if v_shape else 512))
         w = int(payload.get("width", v_shape[4] if v_shape else 896))
         cond = self.pipe.prepare_conditioning_from_tracks(
             tracks, vis, h, w,
             point_wise=int(payload.get("point_wise", 4)),
-            generate_type=payload.get("generate_type", "full_edit"),
+            generate_type=gen_type,
             video=kwargs.get("video"), first_frame=first,
             mask_video=kwargs.get("mask_video"),
             ref_image=kwargs.get("ref_image"))
@@ -252,7 +258,7 @@ f.onsubmit = async (e) => {
                     payload = json.loads(self.rfile.read(n))
                     media = any(k in payload for k in
                                 ("video", "control_video", "tracks",
-                                 "first_frame"))
+                                 "first_frame", "track_method"))
                     result = (server_ref.handle(payload) if media
                               else server_ref.handle_ui_payload(payload))
                     body = json.dumps(result).encode()

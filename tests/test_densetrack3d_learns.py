@@ -12,8 +12,10 @@ working tracker, not just a shape-correct graph.)
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 import pytest
+
+cv2 = pytest.importorskip("cv2")
+optax = pytest.importorskip("optax")
 
 from flexam_tpu.perception.densetrack3d import (DenseTrack3DConfig,
                                                 _grid,
@@ -33,7 +35,6 @@ def _clip(rng, dx, dy, t=4, h=32, w=48):
     """Textured clip translating by (dx, dy) px/frame + its ground-truth
     grid displacement in CELL units."""
     base = rng.rand(h // 4 + 4, w // 4 + 4, 3)
-    import cv2
     big = cv2.resize(base.astype(np.float32), (w + 16, h + 16),
                      interpolation=cv2.INTER_CUBIC)
     frames = np.zeros((t, h, w, 3), np.float32)
