@@ -688,6 +688,8 @@ class DenseTrack3D:
             model_resolution=tuple(model_resolution),
             upsample_factor=upsample_factor, compute=compute, **internals)
         self.params = densetrack3d_init(jax.random.key(seed), self.cfg)
+        self.load_report = None    # set by load_densetrack3d
+        self.load_ok = False       # random init until a checkpoint maps
 
     def load_state_dict(self, state_dict, strict: bool = False):
         self.params, report = map_torch_state_dict(
@@ -817,10 +819,22 @@ def map_torch_state_dict(params: dict, state_dict: dict,
 
 
 def load_densetrack3d(path: str, model: Optional[DenseTrack3D] = None,
+                      verify: bool = True, coverage_threshold: float = 0.9,
                       **cfg_kwargs) -> DenseTrack3D:
     """Load `densetrack3d.pth` (torch, optionally {"model": ...}-wrapped,
-    `pipelines.py:1383-1388`) into a DenseTrack3D, best-effort."""
+    `pipelines.py:1383-1388`) into a DenseTrack3D, best-effort.
+
+    The mapping is shape-signature based (the DELTA source is absent from
+    the snapshot), so the result carries a verdict: `model.load_report`
+    (the raw loaded/missed/unused lists) and `model.load_ok` (per-module
+    coverage >= threshold with no module left entirely random — see
+    `flexam_tpu.io.verify_load`). Callers like
+    `tracking.dispatch_tracking` gate the learned path on `load_ok`
+    instead of trusting file existence."""
     import torch
+
+    from flexam_tpu.io.verify_load import check_mapping
+
     with open(path, "rb") as f:
         sd = torch.load(f, map_location="cpu", weights_only=False)
     if "model" in sd:
@@ -829,7 +843,15 @@ def load_densetrack3d(path: str, model: Optional[DenseTrack3D] = None,
           if hasattr(v, "numpy")}
     model = model or DenseTrack3D(**cfg_kwargs)
     report = model.load_state_dict(sd, strict=False)
+    model.load_report = report
+    model.load_ok = check_mapping(report, quiet=True,
+                                  threshold=coverage_threshold)
     n_l, n_m = len(report["loaded"]), len(report["missed"])
     print(f"densetrack3d: mapped {n_l} tensors, {n_m} unmatched "
           f"(strict=False, like the reference)")
+    if verify and not model.load_ok:
+        check_mapping(report, name=f"densetrack3d[{path}]",
+                      threshold=coverage_threshold)
+        print("WARNING: densetrack3d checkpoint mapping is LOW-COVERAGE — "
+              "unmatched modules stay at random init")
     return model

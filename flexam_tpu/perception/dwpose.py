@@ -277,7 +277,9 @@ def dwpose_video(video: np.ndarray,
     frames = []
     for i in range(t):
         kpts, scores = detector(video[i])
-        # pixel coords pass through the renderer unscaled (it detects
-        # normalized vs pixel) — keeps ints identical to the reference
-        frames.append(render_pose_video(kpts[None], scores[None], h, w)[0])
+        # DWPose emits PIXEL coords: say so explicitly instead of letting
+        # the value heuristic guess (a degenerate detection inside [0,1]
+        # pixels would otherwise be rescaled by (w, h))
+        frames.append(render_pose_video(kpts[None], scores[None], h, w,
+                                        normalized=False)[0])
     return np.stack(frames)

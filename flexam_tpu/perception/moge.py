@@ -226,6 +226,8 @@ class MoGeModel:
         self.cfg = cfg or MoGeConfig()
         self.params = params if params is not None else moge_init(
             jax.random.key(seed), self.cfg)
+        self.load_report = None    # set by load_moge
+        self.load_ok = False
 
     def to(self, *a, **k):
         return self
@@ -282,11 +284,17 @@ class MoGeModel:
         return out
 
 
-def load_moge(path: str, cfg: Optional[MoGeConfig] = None) -> MoGeModel:
+def load_moge(path: str, cfg: Optional[MoGeConfig] = None,
+              coverage_threshold: float = 0.9) -> MoGeModel:
     """Best-effort checkpoint load (shape-signature mapping like
     `load_densetrack3d` — the MoGe source is absent from the snapshot, so
-    exact names are unknowable; unmatched tensors are reported)."""
+    exact names are unknowable; unmatched tensors are reported).
+
+    A mapping below `coverage_threshold` RAISES (per-module table printed
+    first) instead of silently serving scrambled weights; set
+    FLEXAM_MOGE_BESTEFFORT=1 to opt into a partial load (ADVICE r2)."""
     import os
+    from flexam_tpu.io.verify_load import check_mapping
     from flexam_tpu.perception.densetrack3d import map_torch_state_dict
     model = MoGeModel(cfg)
     if os.path.isdir(path):
@@ -309,6 +317,20 @@ def load_moge(path: str, cfg: Optional[MoGeConfig] = None) -> MoGeModel:
         sd = {k: v.float().numpy() for k, v in sd.items()
               if hasattr(v, "numpy")}
     model.params, report = map_torch_state_dict(model.params, sd)
+    model.load_report = report
     print(f"moge: mapped {len(report['loaded'])} tensors, "
           f"{len(report['missed'])} unmatched (best-effort)")
+    model.load_ok = check_mapping(report, quiet=True,
+                                  threshold=coverage_threshold)
+    if not model.load_ok:
+        check_mapping(report, name=f"moge[{path}]",
+                      threshold=coverage_threshold)
+        if os.environ.get("FLEXAM_MOGE_BESTEFFORT") != "1":
+            raise ValueError(
+                f"moge checkpoint {path} mapped below "
+                f"{coverage_threshold:.0%} coverage — refusing to serve "
+                "scrambled weights (set FLEXAM_MOGE_BESTEFFORT=1 to "
+                "accept the partial load)")
+        print("WARNING: FLEXAM_MOGE_BESTEFFORT=1 — proceeding with a "
+              "LOW-COVERAGE moge load; unmatched modules stay random")
     return model

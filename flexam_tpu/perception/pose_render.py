@@ -93,12 +93,20 @@ def split_parts(info_person: np.ndarray):
             "face": face}
 
 
-def _is_normalized(pts: np.ndarray) -> bool:
+def _is_normalized(pts: np.ndarray, normalized: Optional[bool]) -> bool:
+    """Coordinate-convention decision. Callers that KNOW the convention
+    (dwpose_video emits pixel coords) pass `normalized` explicitly; the
+    data-value heuristic is only the default for unknown sources, where a
+    degenerate pixel-space detection entirely inside [0,1] would otherwise
+    be misclassified and scaled by (w, h) (ADVICE r2)."""
+    if normalized is not None:
+        return normalized
     ok = pts[np.isfinite(pts[:, 0])]
     return len(ok) > 0 and bool((np.abs(ok[:, :2]) <= 1.0).all())
 
 
-def draw_pose(poses: List[dict], h: int, w: int) -> np.ndarray:
+def draw_pose(poses: List[dict], h: int, w: int,
+              normalized: Optional[bool] = None) -> np.ndarray:
     """`draw_pose` + `util.draw_{body,hand,face}pose` exactly
     (`util.py:72-215`): limbs as 0.6-dimmed filled ellipses (stickwidth
     4), joints as radius-4 discs, hand edges HSV-colored lines with
@@ -111,7 +119,8 @@ def draw_pose(poses: List[dict], h: int, w: int) -> np.ndarray:
     for pose in poses:
         body = pose.get("body")
         if body is not None:
-            sw, sh = ((float(w), float(h)) if _is_normalized(body)
+            sw, sh = ((float(w), float(h))
+                      if _is_normalized(body, normalized)
                       else (1.0, 1.0))
             for (i1, i2), color in zip(_LIMB_SEQ, _COLORS):
                 k1, k2 = body[i1 - 1], body[i2 - 1]
@@ -137,7 +146,8 @@ def draw_pose(poses: List[dict], h: int, w: int) -> np.ndarray:
             hand = pose.get(hand_key)
             if hand is None:
                 continue
-            sw, sh = ((float(w), float(h)) if _is_normalized(hand)
+            sw, sh = ((float(w), float(h))
+                      if _is_normalized(hand, normalized)
                       else (1.0, 1.0))
             for ie, (e1, e2) in enumerate(_HAND_EDGES):
                 k1, k2 = hand[e1], hand[e2]
@@ -158,7 +168,8 @@ def draw_pose(poses: List[dict], h: int, w: int) -> np.ndarray:
                                thickness=-1)
         face = pose.get("face")
         if face is not None:
-            sw, sh = ((float(w), float(h)) if _is_normalized(face)
+            sw, sh = ((float(w), float(h))
+                      if _is_normalized(face, normalized)
                       else (1.0, 1.0))
             for kpt in face:
                 if not np.isfinite(kpt[0]):
@@ -171,7 +182,8 @@ def draw_pose(poses: List[dict], h: int, w: int) -> np.ndarray:
 
 
 def render_pose_video(keypoints: np.ndarray, scores: np.ndarray,
-                      h: int, w: int) -> np.ndarray:
+                      h: int, w: int,
+                      normalized: Optional[bool] = None) -> np.ndarray:
     """Raw per-frame wholebody keypoints [T, P, 133, 2] (normalized or
     pixel) + scores [T, P, 133] -> control video [T, H, W, 3] float 0..1
     — the full post-ONNX half of `VideoToPose`."""
@@ -180,5 +192,7 @@ def render_pose_video(keypoints: np.ndarray, scores: np.ndarray,
     for i in range(t):
         info = wholebody_to_openpose(keypoints[i], scores[i])
         poses = [split_parts(p) for p in info]
-        out[i] = draw_pose(poses, h, w).astype(np.float32) / 255.0
+        out[i] = draw_pose(poses, h, w,
+                           normalized=normalized
+                           ).astype(np.float32) / 255.0
     return out

@@ -54,9 +54,20 @@ def dispatch_tracking(video, method: str = "auto", density: int = 10,
     method = (method or "auto").lower()
     ckpt = ckpt or find_delta_checkpoint()
     if method in ("delta", "auto") and ckpt:
-        return track_video_delta(video, density=density, ckpt=ckpt,
-                                 depth_backend=depth_backend)
-    if method == "delta":
+        # File existence is not evidence of trained weights: the mapper is
+        # shape-signature best-effort, so gate on its coverage report and
+        # fall back to the flow baseline rather than serving a
+        # mostly-random model silently (ADVICE r2). FLEXAM_FORCE_DELTA=1
+        # opts into a low-coverage load anyway.
+        from flexam_tpu.perception.densetrack3d import load_densetrack3d
+        model = load_densetrack3d(ckpt)
+        if model.load_ok or os.environ.get("FLEXAM_FORCE_DELTA") == "1":
+            return track_video_delta(video, density=density, model=model,
+                                     depth_backend=depth_backend)
+        print(f"WARNING: {ckpt} mapped below coverage threshold — "
+              "falling back to the optical-flow tracker (set "
+              "FLEXAM_FORCE_DELTA=1 to use the partial load anyway)")
+    elif method == "delta":
         print("NOTE: no densetrack3d.pth found — using the optical-flow "
               "baseline tracker instead of random weights")
     return track_video_flow(video, density=density,

@@ -111,10 +111,13 @@ class GenerationServer:
         first = (_decode_array(payload["first_frame"]).astype(np.float32)
                  if "first_frame" in payload else None)
         if (first is None and video is not None
-                and gen_type == "full_edit"):
-            # motion transfer from a bare clip: anchor on the clip's own
-            # first frame (like the demo, `demo.py`'s full_edit path) —
-            # otherwise the output would be unconditioned on the input
+                and gen_type == "full_edit" and "tracks" not in payload):
+            # motion transfer from a bare clip (track_method path only):
+            # anchor on the clip's own first frame (like the demo's
+            # full_edit path) — otherwise the output would be
+            # unconditioned on the input. Scoped to payloads WITHOUT
+            # precomputed tracks so pre-existing tracks+video clients keep
+            # their pass-through semantics (ADVICE r2).
             first = video[:, :, :1]
             kwargs = {**kwargs, "video": None}
             video_for_shape = video
