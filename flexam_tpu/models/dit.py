@@ -48,7 +48,16 @@ from flexam_tpu.core.layers import (
     sinusoidal_embedding_1d,
 )
 from flexam_tpu.core.rope import apply_rope, build_video_rope, make_rope_tables
+from flexam_tpu.ops.fused import fused_enabled, ln_modulation, rmsnorm_rope
 from flexam_tpu.parallel.sharding import token_constraint
+
+
+def _use_fused(head_dim: int) -> bool:
+    """Fused Pallas elementwise kernels (ops/fused.py — the paifuser
+    RMSNorm/RoPE fusions, `FlexAM/models/__init__.py:23-103`) engage on
+    real TPU at production head dims; everything else takes the unfused
+    XLA path the oracle-parity tests pin down."""
+    return head_dim % 128 == 0 and fused_enabled()
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +281,15 @@ def _self_attention(p, x, cos, sin, num_heads, eps, attn_fn, k_len=None):
     """`WanSelfAttention.forward` (`:230-262`): q/k RMS-norm, 3D RoPE, attn."""
     b, s, _ = x.shape
     d = x.shape[-1] // num_heads
+    if _use_fused(d):
+        # one pass per tensor instead of rms-norm + rope round trips
+        q = rmsnorm_rope(linear(x, p["q"]), p["norm_q"], cos, sin,
+                         num_heads, eps)
+        k = rmsnorm_rope(linear(x, p["k"]), p["norm_k"], cos, sin,
+                         num_heads, eps)
+        v = linear(x, p["v"]).reshape(b, s, num_heads, d)
+        out = attn_fn(q, k, v, k_len=k_len)
+        return linear(out.reshape(b, s, -1), p["o"])
     q = rms_norm(linear(x, p["q"]), p["norm_q"], eps).reshape(b, s, num_heads, d)
     k = rms_norm(linear(x, p["k"]), p["norm_k"], eps).reshape(b, s, num_heads, d)
     v = linear(x, p["v"]).reshape(b, s, num_heads, d)
@@ -324,9 +342,26 @@ def _block_forward(bp, x, e0, de0, cos, sin, context, cfg: DiTConfig,
     def dterm(i):
         return de[:, :, i, :].astype(dtype)
 
+    # The two LN+AdaLN prologues fuse into single Pallas passes on TPU
+    # (the density shift folds into the shift term in f32 pair space);
+    # the per-token general mode (e0 [B, L, 6, dim]) keeps the XLA path.
+    fuse_ln = _use_fused(cfg.dim // cfg.num_heads) and (
+        isinstance(e0, tuple) or e0.shape[1] == 1)
+
+    def prologue(i_shift, i_scale, i_density):
+        if not fuse_ln:
+            return (layer_norm(x, eps=1e-6) * (1.0 + term(i_scale))
+                    + term(i_shift) + dterm(i_density)).astype(dtype)
+        if isinstance(e0, tuple):
+            _, _, mask = e0
+            sh = e_pair[:, :, i_shift] + de[:, :, i_density]   # [B,2,dim]
+            sc = e_pair[:, :, i_scale]
+            return ln_modulation(x, sh, sc, mask=mask)
+        sh = e[:, 0, i_shift] + de[:, 0, i_density]            # [B,dim]
+        return ln_modulation(x, sh, e[:, 0, i_scale])
+
     # self-attention with AdaLN(shift,scale)+density shift (`:452-456`)
-    tmp = (layer_norm(x, eps=1e-6) * (1.0 + term(1)) + term(0) + dterm(0)
-           ).astype(dtype)
+    tmp = prologue(0, 1, 0)
     y = _self_attention(bp["self_attn"], tmp, cos, sin, cfg.num_heads,
                         cfg.eps, attn_fn, k_len)
     x = x + y * term(2)
@@ -340,8 +375,7 @@ def _block_forward(bp, x, e0, de0, cos, sin, context, cfg: DiTConfig,
                              cfg.eps, attn_fn)
 
     # FFN with AdaLN + density (`:464-468`)
-    tmp = (layer_norm(x, eps=1e-6) * (1.0 + term(4)) + term(3) + dterm(1)
-           ).astype(dtype)
+    tmp = prologue(3, 4, 1)
     y = linear(gelu_tanh(linear(tmp, bp["ffn"]["fc1"])), bp["ffn"]["fc2"])
     x = x + y * term(5)
     return x

@@ -1,0 +1,295 @@
+"""Fused elementwise Pallas kernels for the DiT hot path.
+
+The reference ships these fusions as the closed-source `paifuser` CUDA
+package — fused RMSNorm and fast-RoPE kernels wired in at
+`FlexAM/models/__init__.py:23-103`. BASELINE.md's v5e roofline attributes
+~0.2 s/step of the 2.4 s compute floor to elementwise HBM bandwidth
+(AdaLN/RoPE/norm), which XLA cannot fully fuse because LayerNorm's
+reductions and the RoPE pair-rotation break its fusion boundaries around
+the matmuls. Two kernels close most of that band:
+
+  * `rmsnorm_rope`  — RMSNorm(gamma) + interleaved-pair rotary embedding
+    in ONE pass over the projected q/k tensor ([B, S, H*dh]): one HBM
+    read + one write instead of the unfused read/write per op (the
+    rotation uses full-width cos/sin tables with the pair-swap expressed
+    as two lane-rolls + select, avoiding strided even/odd gathers).
+  * `ln_modulation` — affine-free LayerNorm + AdaLN `x*(1+scale)+shift`
+    with the TI2V binary-timestep select fused in: the per-token
+    modulation terms (`dit.py _block_forward term(i)`) never materialize
+    as [B, L, D] tensors in HBM.
+
+Numerics match the unfused path op-for-op (same fp32 accumulation points,
+same bf16 cast points), verified by tests/test_fused_ops.py in interpret
+mode; production dispatch is gated on running on real TPU
+(`fused_enabled()`), with the unfused XLA path as the everywhere-else
+fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fused_enabled() -> bool:
+    """Pallas elementwise fusions run on real TPU unless FLEXAM_FUSED
+    overrides (1 forces on — tests use interpret mode; 0 forces off)."""
+    env = os.environ.get("FLEXAM_FUSED")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_block(s: int, cap: int = 256) -> int:
+    """Largest divisor of s that is a multiple of 8 and <= cap; falls back
+    to 8-aligned ceil if s is not 8-divisible (callers pad).
+
+    cap=256: at D=3072 the f32 intermediates (norm + the two rolls of the
+    pair-swap) put a 512-row block at ~22 MB of scoped VMEM — over the
+    16 MB budget (measured OOM on v5e); 256 rows fit with room for the
+    double-buffered in/out blocks."""
+    if s % 8 == 0:
+        for b in range(min(cap, s), 7, -8):
+            if s % b == 0:
+                return b
+    return min(cap, _ceil_to(s, 8))
+
+
+# ---------------------------------------------------------------------------
+# RMSNorm + RoPE
+# ---------------------------------------------------------------------------
+
+def _rmsnorm_rope_kernel(x_ref, g_ref, c_ref, s_ref, o_ref, *, heads: int,
+                         eps: float):
+    """x [1, bs, D=H*dh]; c/s [bs, dh] full-width tables (pair-expanded,
+    sign folded into s for the even outputs)."""
+    x = x_ref[0]
+    bs, d = x.shape
+    dh = d // heads
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    # match core.layers.rms_norm bit-for-bit: normalize in f32, cast to
+    # compute dtype, THEN scale by gamma in compute dtype
+    y = (xf * inv).astype(x.dtype) * g_ref[:].astype(x.dtype)
+
+    # rotation in f32 (core.rope.apply_rope runs fp32)
+    yf = y.astype(jnp.float32).reshape(bs, heads, dh)
+    # pair swap: swapped[2j] = y[2j+1], swapped[2j+1] = y[2j]
+    # (pltpu.roll requires non-negative shifts: -1 == dh-1 circularly)
+    fwd = pltpu.roll(yf, shift=dh - 1, axis=2)         # lane 2j   <- 2j+1
+    bwd = pltpu.roll(yf, shift=1, axis=2)              # lane 2j+1 <- 2j
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bs, heads, dh), 2)
+    swapped = jnp.where(lane % 2 == 0, fwd, bwd)
+    c = c_ref[:].reshape(bs, 1, dh)
+    s = s_ref[:].reshape(bs, 1, dh)
+    out = yf * c + swapped * s
+    o_ref[0] = out.reshape(bs, d).astype(o_ref.dtype)
+
+
+def _expand_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray, seq: int
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[Lr, dh/2] half tables -> full-width [seq, dh] tables with the
+    rotation signs folded in:
+
+      out[2j]   = y[2j]*cos_j - y[2j+1]*sin_j
+      out[2j+1] = y[2j+1]*cos_j + y[2j]*sin_j
+
+    so C[2j] = C[2j+1] = cos_j, S[2j] = -sin_j, S[2j+1] = +sin_j.
+    Tokens beyond len(cos) pass through unrotated (C=1, S=0), matching
+    `apply_rope`'s padding semantics."""
+    lr, half = cos.shape
+    cf = jnp.repeat(cos, 2, axis=1)                    # [Lr, dh]
+    sgn = jnp.tile(jnp.asarray([-1.0, 1.0], cos.dtype), (half,))
+    sf = jnp.repeat(sin, 2, axis=1) * sgn
+    if lr < seq:
+        pad = seq - lr
+        cf = jnp.concatenate([cf, jnp.ones((pad, 2 * half), cf.dtype)], 0)
+        sf = jnp.concatenate([sf, jnp.zeros((pad, 2 * half), sf.dtype)], 0)
+    else:
+        cf, sf = cf[:seq], sf[:seq]
+    return cf, sf
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"))
+def _rmsnorm_rope_call(x, gamma, cfull, sfull, heads, eps, interpret):
+    b, s, d = x.shape
+    bs = _pick_block(s)
+    s_p = _ceil_to(s, bs)
+    if s_p != s:
+        x = jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
+        cfull = jnp.pad(cfull, ((0, s_p - s), (0, 0)), constant_values=1.0)
+        sfull = jnp.pad(sfull, ((0, s_p - s), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_rmsnorm_rope_kernel, heads=heads, eps=eps),
+        grid=(b, s_p // bs),
+        in_specs=[
+            pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, d // heads), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, d // heads), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_p, d), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x, gamma, cfull, sfull)
+    return out[:, :s]
+
+
+def rmsnorm_rope(x: jnp.ndarray, gamma: jnp.ndarray, cos: jnp.ndarray,
+                 sin: jnp.ndarray, num_heads: int, eps: float = 1e-6,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Fused `rms_norm(x, gamma)` + `apply_rope` over [B, S, H*dh].
+
+    Returns [B, S, H, dh] (the attention layout). cos/sin are the
+    [L_rot, dh/2] half-angle tables from `build_video_rope`; tokens
+    past L_rot pass through unrotated."""
+    b, s, d = x.shape
+    dh = d // num_heads
+    cfull, sfull = _expand_rope_tables(cos, sin, s)
+    out = _rmsnorm_rope_call(x, gamma, cfull, sfull, num_heads, eps,
+                             interpret)
+    return out.reshape(b, s, num_heads, dh)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm + AdaLN modulation (binary-timestep aware)
+# ---------------------------------------------------------------------------
+
+def _ln_mod_binary_kernel(x_ref, sh_ref, sc_ref, m_ref, o_ref, *, eps: float):
+    """x [1, bs, D]; sh/sc [1, 2, D] f32 (t-branch row 0, zero-branch row
+    1); m [B_full, bs] f32 mask (1 -> row 0) — the mask block keeps the
+    FULL batch dim (Mosaic requires sublane block dims divisible by 8 or
+    equal to the array dim; a (1, bs) block of a [2, S] array is
+    neither), indexed by the batch program id."""
+    x = x_ref[0]
+    bs, d = x.shape
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+    m = m_ref[pl.program_id(0)].reshape(bs, 1)         # [bs, 1] f32
+    sh = m * sh_ref[0, 0] + (1.0 - m) * sh_ref[0, 1]   # [bs, D] f32
+    sc = m * sc_ref[0, 0] + (1.0 - m) * sc_ref[0, 1]
+    one = x.dtype.type(1.0)
+    o_ref[0] = (ln * (one + sc.astype(x.dtype))
+                + sh.astype(x.dtype)).astype(o_ref.dtype)
+
+
+def _ln_mod_bcast_kernel(x_ref, sh_ref, sc_ref, o_ref, *, eps: float):
+    """x [1, bs, D]; sh/sc [1, D] f32 broadcast terms."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    one = x.dtype.type(1.0)
+    o_ref[0] = (ln * (one + sc_ref[:].astype(x.dtype))
+                + sh_ref[:].astype(x.dtype)).astype(o_ref.dtype)
+
+
+def _pick_block_128(s: int, cap: int = 256) -> int:
+    """Block size for kernels whose mask block makes the token axis a LANE
+    dimension (the [B, S] mask in the binary ln_mod kernel): Mosaic
+    requires lane-dim blocks divisible by 128."""
+    if s % 128 == 0:
+        for b in range(cap - cap % 128, 127, -128):
+            if s % b == 0:
+                return b
+    return 128
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _ln_mod_binary_call(x, shift_pair, scale_pair, mask, eps, interpret):
+    b, s, d = x.shape
+    bs = _pick_block_128(s)
+    s_p = _ceil_to(s, bs)
+    if s_p != s:
+        x = jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, s_p - s)))
+    out = pl.pallas_call(
+        functools.partial(_ln_mod_binary_kernel, eps=eps),
+        grid=(b, s_p // bs),
+        in_specs=[
+            pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, bs), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_p, d), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x, shift_pair.astype(jnp.float32), scale_pair.astype(jnp.float32),
+      mask.astype(jnp.float32))
+    return out[:, :s]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _ln_mod_bcast_call(x, shift, scale, eps, interpret):
+    b, s, d = x.shape
+    bs = _pick_block(s)
+    s_p = _ceil_to(s, bs)
+    if s_p != s:
+        x = jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ln_mod_bcast_kernel, eps=eps),
+        grid=(b, s_p // bs),
+        in_specs=[
+            pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_p, d), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x, shift.astype(jnp.float32), scale.astype(jnp.float32))
+    return out[:, :s]
+
+
+def ln_modulation(x: jnp.ndarray, shift, scale,
+                  mask: Optional[jnp.ndarray] = None, eps: float = 1e-6,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Fused affine-free LayerNorm + `ln(x)*(1+scale)+shift`.
+
+    Binary-timestep mode (mask given): shift/scale are [B, 2, D] pairs and
+    mask [B, S] selects row 0 (mask=1, the t branch) or row 1 per token —
+    the fused form of `dit.py _block_forward`'s `term(i)` select.
+    Broadcast mode (mask None): shift/scale are [B, D] (or [B, 1, D])."""
+    if mask is not None:
+        return _ln_mod_binary_call(x, shift, scale, mask, eps, interpret)
+    if shift.ndim == 3:
+        shift = shift[:, 0]
+        scale = scale[:, 0]
+    return _ln_mod_bcast_call(x, shift, scale, eps, interpret)
