@@ -609,6 +609,7 @@ class FlexAMGenerationPipeline:
         latents: Optional[jnp.ndarray] = None,
         teacache_thresh: float = 0.0,          # 0 = off; reference: 0.10
         teacache_skip_start: int = 5,
+        teacache_coefficients=None,            # 5-tuple; None = WAN22 table
         resume: Optional[dict] = None,         # from a previous checkpoint_cb
         checkpoint_cb=None,                    # cb(step:int, snapshot:dict)
     ) -> jnp.ndarray:
@@ -657,6 +658,14 @@ class FlexAMGenerationPipeline:
         l_ref = ((lh // self.cfg.dit.patch_size[1])
                  * (lw // self.cfg.dit.patch_size[2]))
         use_teacache = teacache_thresh > 0.0
+        # calibrated polynomial (tools/teacache_calibrate fits one per
+        # checkpoint); default = the reference's fitted Wan2.2 table
+        # (`cache_utils.py:4-18`) — passed as a dynamic arg so swapping
+        # coefficients does not retrace the chunk executable
+        from flexam_tpu.models.dit import WAN22_TEACACHE_COEFFICIENTS
+        tea_coeffs = jnp.asarray(
+            teacache_coefficients if teacache_coefficients is not None
+            else WAN22_TEACACHE_COEFFICIENTS, jnp.float32)
 
         # the denoise scan is split into host-launched chunks: a single
         # >60 s device executable trips the runtime watchdog at full scale
@@ -691,7 +700,7 @@ class FlexAMGenerationPipeline:
                     cond["additional_control"], cond["ref_latents"],
                     cond["mask_ti2v"],
                     context if with_cfg else context[-1:],
-                    sched, float(guidance_scale),
+                    sched, tea_coeffs, float(guidance_scale),
                     float(density) if density is not None else 0.0,
                     length, bool(cond["first_frame_known"]), with_cfg,
                     tables.convert, density is not None,
@@ -723,12 +732,12 @@ class FlexAMGenerationPipeline:
     steps_per_launch = 14
 
     @partial(jax.jit,
-             static_argnums=(0, 15, 16, 17, 18, 19, 20, 21, 22))
+             static_argnums=(0, 16, 17, 18, 19, 20, 21, 22, 23))
     def _denoise_chunk_jit(self, params, state, tea, start,
                            control_latents, mask_latents,
                            masked_video_latents, additional_control,
                            ref_latents, mask_ti2v, context, sched,
-                           guidance_scale, density, length,
+                           tea_coeffs, guidance_scale, density, length,
                            first_frame_known, with_cfg, solver_convert,
                            has_density, per_token_t, teacache_thresh,
                            teacache_skip_start):
@@ -780,6 +789,7 @@ class FlexAMGenerationPipeline:
             if use_teacache:
                 return dit_forward_teacache(
                     params, cfg, xb, t_in, ctx, tea, i,
+                    coefficients=tea_coeffs,
                     rel_l1_thresh=teacache_thresh,
                     num_skip_start_steps=teacache_skip_start, **kw)
             return dit_forward(params, cfg, xb, t_in, ctx, **kw), tea
@@ -857,6 +867,7 @@ class FlexAMGenerationPipeline:
                  guidance_scale=6.0, seed=1245644, density=None,
                  scheduler_type=None, cfg_skip_ratio=0.0,
                  teacache_thresh=0.0, teacache_skip_start=5,
+                 teacache_coefficients=None,
                  offload_dit_for_decode: Optional[bool] = None,
                  output_type="np") -> np.ndarray:
         """demo-equivalent end-to-end call. video in [0,1], [1,3,T,H,W].
@@ -875,6 +886,7 @@ class FlexAMGenerationPipeline:
             scheduler_type=scheduler_type, cfg_skip_ratio=cfg_skip_ratio,
             teacache_thresh=teacache_thresh,
             teacache_skip_start=teacache_skip_start,
+            teacache_coefficients=teacache_coefficients,
             offload_dit_for_decode=offload_dit_for_decode,
             output_type=output_type)
 
@@ -882,6 +894,7 @@ class FlexAMGenerationPipeline:
                            guidance_scale=6.0, seed=1245644, density=None,
                            scheduler_type=None, cfg_skip_ratio=0.0,
                            teacache_thresh=0.0, teacache_skip_start=5,
+                           teacache_coefficients=None,
                            offload_dit_for_decode: Optional[bool] = None,
                            output_type="np") -> np.ndarray:
         """Denoise + decode from a prepared conditioning dict (shared by
@@ -893,7 +906,8 @@ class FlexAMGenerationPipeline:
                                scheduler_type=scheduler_type,
                                cfg_skip_ratio=cfg_skip_ratio,
                                teacache_thresh=teacache_thresh,
-                               teacache_skip_start=teacache_skip_start)
+                               teacache_skip_start=teacache_skip_start,
+                               teacache_coefficients=teacache_coefficients)
         if output_type == "latent":
             return np.asarray(latents)
         if offload_dit_for_decode is None:
