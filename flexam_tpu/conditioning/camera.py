@@ -224,10 +224,14 @@ class CameraMotionGenerator:
                 if ext == ".txt":
                     cams = self.process_pose_file(self.pose_file,
                                                   return_poses=True)
+                elif ext in (".mp4", ".avi", ".mov", ".mkv", ".webm"):
+                    # reference `pipelines.py:778-787`: a video pose
+                    # source runs the Pi3 pose model (native port)
+                    cams = self.process_video_file(self.pose_file)
                 else:
                     raise ValueError(
-                        f"pose source {ext} needs an external pose estimator "
-                        "(Pi3); pass poses via convert_cameras_to_poses")
+                        f"pose source {ext} must be a CameraCtrl .txt or "
+                        "a video file (native Pi3 pose estimation)")
                 rel_c2ws = get_relative_pose(cams)
                 w2cs = np.stack([se3_inverse(m) for m in rel_c2ws])
                 w2cs = _fit_frames(w2cs, self.frame_num)
@@ -263,6 +267,35 @@ class CameraMotionGenerator:
         c0 = cams[0]
         K = np.array([[c0.fx, 0, c0.cx], [0, c0.fy, c0.cy], [0, 0, 1]],
                      dtype=np.float32)
+        self.set_intr(K)
+        return cams
+
+    def process_video_file(self, video_file_path: str, width: int = 672,
+                           height: int = 384, device: str = "cpu",
+                           model=None):
+        """Camera parameters from a raw video via the NATIVE Pi3 model —
+        the reference's `process_video_file` (`pipelines.py:259-321`):
+        Pi3(imgs[None]) -> c2w poses -> w2c Camera entries with a default
+        55-degree-FoV intrinsic. `device` is accepted for surface parity
+        (placement is jax's concern). Returns List[Camera]."""
+        import math as _math
+
+        from flexam_tpu.perception.pi3 import (Pi3, load_images_as_tensor)
+
+        model = model or Pi3.from_pretrained()
+        imgs = load_images_as_tensor(video_file_path, interval=1)
+        pred = model(imgs[None])
+        poses_c2w = np.asarray(pred["camera_poses"][0])      # [N, 4, 4]
+
+        fx = (width / 2) / _math.tan(_math.radians(55) / 2)
+        cams = []
+        for i, c2w in enumerate(poses_c2w):
+            w2c = se3_inverse(c2w)
+            entry = ([i, fx, fx, width / 2, height / 2, 0, 0]
+                     + w2c[:3, :].flatten().tolist())
+            cams.append(Camera(entry))
+        K = np.array([[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]],
+                     np.float32)
         self.set_intr(K)
         return cams
 

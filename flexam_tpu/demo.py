@@ -279,10 +279,27 @@ def main(argv=None):
             if (extr is None or intr is None) and args.poses_npz:
                 from flexam_tpu.perception import poses_npz_to_extri_intri
                 extr, intr = poses_npz_to_extri_intri(args.poses_npz, w, h)
+            if (extr is None or intr is None) and \
+                    os.environ.get("FLEXAM_PI3_CKPT") and \
+                    input_video is not None:
+                # learned pose path: the NATIVE Pi3 port with trained
+                # weights (`pipelines.py:259-321`); gated on a checkpoint
+                # because random-weight poses are near-identity
+                from flexam_tpu.perception.pi3 import (Pi3,
+                                                       pi3_video_poses)
+                from flexam_tpu.perception.poses import \
+                    pi3_poses_to_extri_intri
+                model = Pi3.from_pretrained()
+                if model.load_ok:
+                    print("NOTE: camera poses from the native Pi3 model")
+                    c2w = pi3_video_poses(
+                        np.asarray(input_video)[0].transpose(1, 0, 2, 3),
+                        model=model)
+                    extr, intr = pi3_poses_to_extri_intri(c2w, w, h)
             if extr is None or intr is None:
-                # native replacement for the VGGT/Pi3 pose step
-                # (`demo.py:310-325`): solve rigid per-frame poses from
-                # the 3D tracks themselves (robust Kabsch)
+                # no-checkpoint fallback (`demo.py:310-325` substitute):
+                # solve rigid per-frame poses from the 3D tracks
+                # themselves (robust Kabsch)
                 from flexam_tpu.perception.pose_solver import \
                     solve_camera_poses
                 print("NOTE: solving camera poses from tracks (no "

@@ -12,15 +12,17 @@ snapshot, SURVEY.md §2.6):
                 vendored pre/post; cv2.dnn ONNX inference)
   pose_render   OpenPose skeleton drawing (pixel-exact vs vendored)
   pose_solver   camera extrinsics from 3D tracks (robust Kabsch) — the
-                native replacement for the VGGT/Pi3 pose step
+                no-checkpoint fallback for the VGGT/Pi3 pose step
+  pi3           native Pi3 multi-view pose model (permutation-equivariant
+                alternating-attention decoder; exact reference surface)
   tracking      optical-flow baseline tracker + DELTA dispatch
   depth         pluggable depth-backend registry
   poses         VGGT/Pi3 pose-encoding post-processing + npz fixtures
 
 Checkpoint env vars: FLEXAM_DELTA_CKPT, FLEXAM_UNIDEPTH_CKPT,
-FLEXAM_MOGE_CKPT, FLEXAM_DWPOSE_DET + FLEXAM_DWPOSE_POSE. Every path
-degrades gracefully without weights (flow tracker, luminance depth,
-fixtures)."""
+FLEXAM_MOGE_CKPT, FLEXAM_PI3_CKPT, FLEXAM_DWPOSE_DET +
+FLEXAM_DWPOSE_POSE. Every path degrades gracefully without weights
+(flow tracker, luminance depth, Kabsch poses, fixtures)."""
 
 from flexam_tpu.perception.depth import (  # noqa: F401
     estimate_depth,
@@ -58,6 +60,10 @@ def __getattr__(name):
     if name in ("MoGeModel", "MoGeConfig", "load_moge",
                 "recover_focal_shift"):
         from flexam_tpu.perception import moge as _m
+        return getattr(_m, name)
+    if name in ("Pi3", "Pi3Config", "load_pi3", "load_images_as_tensor",
+                "pi3_video_poses"):
+        from flexam_tpu.perception import pi3 as _m
         return getattr(_m, name)
     if name in ("DWPoseDetector", "dwpose_video"):
         from flexam_tpu.perception import dwpose as _m
