@@ -196,15 +196,17 @@ def _ln_mod_binary_kernel(x_ref, sh_ref, sc_ref, m_ref, o_ref, *, eps: float):
 
 
 def _ln_mod_bcast_kernel(x_ref, sh_ref, sc_ref, o_ref, *, eps: float):
-    """x [1, bs, D]; sh/sc [1, D] f32 broadcast terms."""
+    """x [1, bs, D]; sh/sc [B_full, D] f32 broadcast terms (full batch
+    dim for the same Mosaic sublane-block rule as the binary kernel)."""
     x = x_ref[0]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     ln = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     one = x.dtype.type(1.0)
-    o_ref[0] = (ln * (one + sc_ref[:].astype(x.dtype))
-                + sh_ref[:].astype(x.dtype)).astype(o_ref.dtype)
+    i = pl.program_id(0)
+    o_ref[0] = (ln * (one + sc_ref[i].astype(x.dtype))
+                + sh_ref[i].astype(x.dtype)).astype(o_ref.dtype)
 
 
 def _pick_block_128(s: int, cap: int = 256) -> int:
@@ -263,9 +265,9 @@ def _ln_mod_bcast_call(x, shift, scale, eps, interpret):
         in_specs=[
             pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (i, 0),
+            pl.BlockSpec((b, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (i, 0),
+            pl.BlockSpec((b, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),

@@ -70,6 +70,19 @@ def dispatch_tracking(video, method: str = "auto", density: int = 10,
     elif method == "delta":
         print("NOTE: no densetrack3d.pth found — using the optical-flow "
               "baseline tracker instead of random weights")
+    # flow backend: the device pyramidal-LK tracker (perception/flow_jax)
+    # runs the whole front-end in one jit on TPU (host Farneback spent
+    # 49.3 s of single-core CPU at flagship scale); FLEXAM_FLOW=host
+    # forces the cv2 baseline, =device forces the jax one
+    choice = os.environ.get("FLEXAM_FLOW", "auto")
+    if choice != "host":
+        import jax
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if choice == "device" or on_tpu:
+            from flexam_tpu.perception.flow_jax import \
+                track_video_flow_device
+            return track_video_flow_device(video, density=density,
+                                           depth_backend=depth_backend)
     return track_video_flow(video, density=density,
                             depth_backend=depth_backend)
 
