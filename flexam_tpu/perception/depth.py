@@ -65,9 +65,18 @@ def _unidepth_lazy(video: np.ndarray, **kw) -> np.ndarray:
     return _unidepth_backend(video, **kw)
 
 
+def _zoe_lazy(video: np.ndarray, **kw) -> np.ndarray:
+    """ZoeDepth (ZoeD_M12_N) — the `VideoToDepth` annotator's actual
+    model (`annotator/nodes.py:153-233`), ported natively in
+    flexam_tpu.perception.zoedepth. Weights: FLEXAM_ZOE_CKPT."""
+    from flexam_tpu.perception.zoedepth import zoe_depth_video
+    return zoe_depth_video(video, **kw)
+
+
 register_depth_backend("luminance", _luminance_depth)
 register_depth_backend("onnx", _onnx_depth)
 register_depth_backend("unidepth", _unidepth_lazy)
+register_depth_backend("zoe", _zoe_lazy)
 
 
 def estimate_depth(video: np.ndarray, backend: str = None, **kw
