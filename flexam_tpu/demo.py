@@ -280,6 +280,19 @@ def main(argv=None):
                 from flexam_tpu.perception import poses_npz_to_extri_intri
                 extr, intr = poses_npz_to_extri_intri(args.poses_npz, w, h)
             if (extr is None or intr is None) and \
+                    os.environ.get("FLEXAM_VGGT_CKPT") and \
+                    input_video is not None:
+                # the reference's flagship video camera path: VGGT
+                # aggregator + camera head (`demo.py:296-325`), native
+                from flexam_tpu.perception.vggt import (VGGT,
+                                                        vggt_video_poses)
+                vm = VGGT.from_pretrained()
+                if vm.load_ok:
+                    print("NOTE: camera poses from the native VGGT model")
+                    extr, intr = vggt_video_poses(
+                        np.asarray(input_video)[0].transpose(1, 0, 2, 3),
+                        model=vm)
+            if (extr is None or intr is None) and \
                     os.environ.get("FLEXAM_PI3_CKPT") and \
                     input_video is not None:
                 # learned pose path: the NATIVE Pi3 port with trained

@@ -65,6 +65,16 @@ def __getattr__(name):
                 "pi3_video_poses"):
         from flexam_tpu.perception import pi3 as _m
         return getattr(_m, name)
+    if name in ("VGGT", "VGGTConfig", "load_vggt", "vggt_video_poses"):
+        from flexam_tpu.perception import vggt as _m
+        return getattr(_m, name)
+    if name in ("ZoeDepth", "ZoeDepthConfig", "load_zoedepth",
+                "zoe_depth_video"):
+        from flexam_tpu.perception import zoedepth as _m
+        return getattr(_m, name)
+    if name in ("track_video_flow_device", "dense_flow"):
+        from flexam_tpu.perception import flow_jax as _m
+        return getattr(_m, name)
     if name in ("DWPoseDetector", "dwpose_video"):
         from flexam_tpu.perception import dwpose as _m
         return getattr(_m, name)
