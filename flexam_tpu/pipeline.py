@@ -145,6 +145,31 @@ class FlexAMGenerationPipeline:
         self.attn_fn = attn_fn or default_attention
         self.rope_tables = jnp.asarray(
             make_rope_tables_for(models.cfg.dit), jnp.float32)
+        self.last_link_probe = None     # utils.linkprobe result
+        self._staged_uploads = False    # degraded link -> chunked puts
+
+    # -- link resilience (VERDICT r2 item 5) --------------------------------
+
+    def probe_link_health(self, force: bool = False) -> dict:
+        """RTT-probe the device link once per TTL window; on a degraded
+        tunnel switch host->device transfers to staged uploads with
+        retry and record the probe in the metrics JSON so inflated
+        prepare/decode timings are attributable to the link."""
+        from flexam_tpu.utils.linkprobe import probe_link
+        from flexam_tpu.utils.timing import metrics
+        res = probe_link(force=force)
+        self.last_link_probe = res
+        self._staged_uploads = not res["healthy"]
+        metrics.counters["link_rtt_ms_median"] = res["rtt_ms_median"]
+        metrics.counters["link_healthy"] = float(res["healthy"])
+        return res
+
+    def _put(self, arr):
+        """Host->device upload; staged+retried under a degraded link."""
+        if self._staged_uploads:
+            from flexam_tpu.utils.linkprobe import staged_put
+            return staged_put(np.asarray(arr))
+        return jnp.asarray(arr)
 
     def enable_riflex(self, k: int, L_test: int,
                       L_test_scale: Optional[float] = None):
@@ -222,6 +247,8 @@ class FlexAMGenerationPipeline:
     def _encode_clips(self, clips: jnp.ndarray) -> jnp.ndarray:
         """Batched encode of N same-shape clips [N, 3, T, H, W] in [-1,1]."""
         n, _, t, h, w = clips.shape
+        if isinstance(clips, np.ndarray):
+            clips = self._put(clips)
         clips = clips.astype(self.compute_dtype)
         mesh = getattr(self, "vae_mesh", None)
         if mesh is not None:
@@ -292,6 +319,7 @@ class FlexAMGenerationPipeline:
     ) -> Dict[str, jnp.ndarray]:
         """VAE-encode every conditioning stream (one batched call) and build
         the latent masks. Mirrors `pipeline...FlexAM.py:643-830`."""
+        self.probe_link_health()
         cfgv = self.cfg.vae
         b, _, t, h, w = video.shape
         assert b == 1, "reference semantics are per-sample; vmap upstream"
@@ -434,6 +462,7 @@ class FlexAMGenerationPipeline:
         Output dict is identical to `prepare_conditioning`'s (parity test:
         tests/test_pipeline.py). `return_videos` additionally returns the
         rasterized streams for artifact saving (forces a device fetch)."""
+        self.probe_link_health()
         from flexam_tpu.conditioning.rasterize_device import DeviceRasterizer
 
         cfgv = self.cfg.vae
@@ -456,7 +485,7 @@ class FlexAMGenerationPipeline:
             if first_frame is None:
                 raise ValueError("track conditioning needs video= or "
                                  "first_frame=")
-            ff = jnp.asarray(np.asarray(first_frame, np.float16))
+            ff = self._put(np.asarray(first_frame, np.float16))
             if ff.ndim == 4:
                 ff = ff[:, :, None]
             # mask = frame 0 known / rest generate (uint8 resident)
@@ -470,7 +499,7 @@ class FlexAMGenerationPipeline:
                     return self._first_masked_group_jit(ff, n)
                 return jnp.zeros((1, 3, n, height, width), dt)
         else:
-            video_dev = jnp.asarray(np.asarray(video, np.float16))
+            video_dev = self._put(np.asarray(video, np.float16))
             if mask_video is not None:
                 mask01 = jnp.asarray(
                     (np.asarray(mask_video, np.float32) > 0.5
@@ -560,7 +589,7 @@ class FlexAMGenerationPipeline:
 
         ref = ref_image if ref_image is not None else first_frame
         if ref is not None:
-            r = jnp.asarray(np.asarray(ref, np.float16))
+            r = self._put(np.asarray(ref, np.float16))
             if r.ndim == 4:
                 r = r[:, :, None]
             ref_lat = self._vae_encode_jit(
