@@ -4,11 +4,17 @@ TPU-native counterpart of the reference kernel ladder
 (`FlexAM/models/attention_utils.py:174-233`: FlashAttention-3 -> FA-2 ->
 SageAttention -> SDPA). Here the ladder is:
 
-  pallas  — Pallas TPU flash attention (`flexam_tpu/ops/flash_attention.py`)
-  xla     — fused XLA softmax attention (fp32 accumulation), CPU/GPU-safe
+  pallas       — Pallas TPU flash attention (`ops/flash_attention.py`)
+  pallas_int8  — SageAttention-equivalent INT8 QK^T (`ops/int8_attention`).
+                 Measured regime on v5e (round 3, healthy link): parity
+                 with bf16 at the flagship 11,648 tokens, +6% at 23k and
+                 +8% at 35k (RIFLEx/long-video lengths) — opt in for
+                 long sequences; bf16 stays the flagship default.
+  xla          — fused XLA softmax attention (fp32 accum), CPU/GPU-safe
 
 selected by the `FLEXAM_ATTENTION` env var (mirrors `VIDEOX_ATTENTION_TYPE`,
-`attention_utils.py:191`) or automatically: Pallas on TPU, XLA elsewhere.
+`attention_utils.py:191`; `sage`/`sageattn` map to pallas_int8) or
+automatically: Pallas on TPU, XLA elsewhere.
 
 Inputs use layout [B, L, H, D] like the reference `attention()`; `k_len`
 masks padded keys (the reference's varlen `k_lens` -> cu_seqlens path,

@@ -49,6 +49,7 @@ def collect_signals(
     y: Optional[jnp.ndarray] = None,
     additional_control: Optional[jnp.ndarray] = None,
     full_ref: Optional[jnp.ndarray] = None,
+    rope_tables: Optional[jnp.ndarray] = None,
     attn_fn=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per consecutive step pair: (rel_l1 of modulated e0, relative L1
@@ -57,29 +58,42 @@ def collect_signals(
     from flexam_tpu.core.attention import attention as default_attention
     attn_fn = attn_fn or default_attention
 
-    def one(x, t):
+    def one(params, x, t, prev_mod, prev_res):
         tokens, e0, de0, _, _, cos, sin, ctx, _, _ = _dit_prepare(
             params, cfg, x, t, context, density, y, additional_control,
-            full_ref, None)
+            full_ref, rope_tables)
         mod = (e0[1][:, 0] if isinstance(e0, tuple)
                else e0[:, -1]).astype(jnp.float32)
         out = _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx,
                           attn_fn)
-        return mod, (out - tokens).astype(jnp.float32)
+        res = (out - tokens).astype(jnp.float32)
+        # rel metrics ON DEVICE: only two scalars cross the link per step
+        # (the flagship residual is ~286 MB — fetching it per step would
+        # be tunnel-bound)
+        rel_mod = (jnp.mean(jnp.abs(mod - prev_mod))
+                   / (jnp.mean(jnp.abs(prev_mod)) + 1e-12))
+        rel_res = (jnp.mean(jnp.abs(res - prev_res))
+                   / (jnp.mean(jnp.abs(prev_res)) + 1e-12))
+        return mod, res, rel_mod, rel_res
 
     one_jit = jax.jit(one)
+    # seed carries at the right shapes via eval_shape (one trace, no
+    # execution) so every step reuses a single compiled executable
+    mod_sd, res_sd, _, _ = jax.eval_shape(
+        one, params, jnp.asarray(xs[0]), jnp.asarray(ts[0]),
+        jax.ShapeDtypeStruct((np.shape(xs[0])[0], 6, cfg.dim),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((1, 1, cfg.dim), jnp.float32))
+    prev_mod = jnp.ones(mod_sd.shape, jnp.float32)
+    prev_res = jnp.ones(res_sd.shape, jnp.float32)
+
     rels, outs = [], []
-    prev_mod = prev_res = None
-    for x, t in zip(xs, ts):
-        mod, res = one_jit(jnp.asarray(x), jnp.asarray(t))
-        mod = np.asarray(mod)
-        res = np.asarray(res)
-        if prev_mod is not None:
-            rels.append(float(np.mean(np.abs(mod - prev_mod))
-                              / (np.mean(np.abs(prev_mod)) + 1e-12)))
-            outs.append(float(np.mean(np.abs(res - prev_res))
-                              / (np.mean(np.abs(prev_res)) + 1e-12)))
-        prev_mod, prev_res = mod, res
+    for i, (x, t) in enumerate(zip(xs, ts)):
+        prev_mod, prev_res, rm, rr = one_jit(
+            params, jnp.asarray(x), jnp.asarray(t), prev_mod, prev_res)
+        if i > 0:                      # first step diffs the dummy seed
+            rels.append(float(rm))
+            outs.append(float(rr))
     return np.asarray(rels), np.asarray(outs)
 
 
@@ -108,15 +122,17 @@ def collect_signals_trajectory(
                           latent_shape, jnp.float32)
     state = sampler_init_state(x, tables.order)
     xs, ts = [], []
-    fwd = jax.jit(lambda x, t: dit_forward(
-        params, cfg, x.astype(context.dtype),
+    # params ride as a jit ARGUMENT (closure capture would inline 10 GB
+    # of constants at 5B scale)
+    fwd = jax.jit(lambda p, x, t: dit_forward(
+        p, cfg, x.astype(context.dtype),
         jnp.full((latent_shape[0],), t, jnp.float32), context,
         **cond_kwargs))
     for i in range(num_steps):
         t = float(tables.timesteps[i])
         xs.append(np.asarray(state[0]))
         ts.append(np.full((latent_shape[0],), t, np.float32))
-        v = fwd(state[0], t)
+        v = fwd(params, state[0], t)
         state, _ = sampler_step(sched, tables.convert, state,
                                 v.astype(jnp.float32), jnp.int32(i))
     return collect_signals(params, cfg, np.asarray(xs), np.asarray(ts),

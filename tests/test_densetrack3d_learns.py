@@ -60,7 +60,8 @@ def _forward(params, frames, cfg):
     state = (jnp.broadcast_to(grid[None], (wl, h, w, 2)),
              jnp.zeros((wl, h, w), jnp.float32), tfeat0,
              jnp.zeros((wl, h, w), jnp.float32))
-    state = _window_iters_jit(params, vols, dgrid, state, cfg, cfg.iters)
+    state, _ = _window_iters_jit(params, vols, dgrid, state, cfg,
+                                 cfg.iters)
     return state[0] - grid[None]        # displacement in cells
 
 

@@ -182,3 +182,41 @@ def test_demo_flow_tracking_mode(tmp_path):
           "--tracking_method", "flow", "--density", "8",
           "--output_dir", out])
     assert os.path.exists(os.path.join(out, "result.mp4"))
+
+
+def test_densetrack_early_exit_skips_converged_windows(monkeypatch):
+    """VERDICT r2 item 3b: a window whose last launch moved tracks below
+    tolerance skips its remaining iteration launches; disabling the flag
+    restores the full schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    import flexam_tpu.perception.densetrack3d as D
+
+    cfg_kw = dict(stride=4, window_len=4, num_virtual_tracks=4,
+                  model_resolution=(32, 48), latent_dim=16, dim=32,
+                  num_heads=2, num_blocks=1, corr_levels=2, corr_radius=1,
+                  iters=4, iters_per_launch=1, compute="float32")
+    model = D.DenseTrack3D(**cfg_kw)
+    # zero the delta head: every iteration's update is exactly 0 ->
+    # converged after the first launch
+    model.params["transformer"]["head_delta"]["weight"] = jnp.zeros_like(
+        model.params["transformer"]["head_delta"]["weight"])
+
+    calls = {"n": 0}
+    real = D._window_iters_jit
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(D, "_window_iters_jit", counting)
+    video = jnp.asarray(np.random.rand(4, 32, 48, 3), jnp.float32)
+    depth = jnp.ones((4, 32, 48), jnp.float32)
+    D.dense_track(model.params, video, depth, model.cfg, 4)
+    assert calls["n"] == 1, calls     # 1 of 4 launches (1 window)
+
+    calls["n"] = 0
+    cfg_off = D.DenseTrack3DConfig(**cfg_kw, early_exit=False)
+    D.dense_track(model.params, video, depth, cfg_off, 4)
+    assert calls["n"] == 4, calls     # full schedule without the flag
