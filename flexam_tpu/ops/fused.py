@@ -74,29 +74,31 @@ def _pick_block(s: int, cap: int = 256) -> int:
 
 def _rmsnorm_rope_kernel(x_ref, g_ref, c_ref, s_ref, o_ref, *, heads: int,
                          eps: float):
-    """x [1, bs, D=H*dh]; c/s [bs, dh] full-width tables (pair-expanded,
-    sign folded into s for the even outputs)."""
+    """x [1, bs, H, dh] (4D-NATIVE layout — a 2D->3D reshape inside the
+    kernel forces a Mosaic relayout copy; keeping (H, dh) as the tiled
+    trailing dims avoids it); g [H, dh]; c/s [bs, dh] full-width tables
+    (pair-expanded, sign folded into s for the even outputs)."""
     x = x_ref[0]
-    bs, d = x.shape
-    dh = d // heads
+    bs, h, dh = x.shape
     xf = x.astype(jnp.float32)
-    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    inv = jax.lax.rsqrt(
+        jnp.mean(xf * xf, axis=(-2, -1), keepdims=True) + eps)
     # match core.layers.rms_norm bit-for-bit: normalize in f32, cast to
     # compute dtype, THEN scale by gamma in compute dtype
-    y = (xf * inv).astype(x.dtype) * g_ref[:].astype(x.dtype)
+    y = (xf * inv).astype(x.dtype) * g_ref[:].astype(x.dtype)[None]
 
     # rotation in f32 (core.rope.apply_rope runs fp32)
-    yf = y.astype(jnp.float32).reshape(bs, heads, dh)
+    yf = y.astype(jnp.float32)
     # pair swap: swapped[2j] = y[2j+1], swapped[2j+1] = y[2j]
     # (pltpu.roll requires non-negative shifts: -1 == dh-1 circularly)
     fwd = pltpu.roll(yf, shift=dh - 1, axis=2)         # lane 2j   <- 2j+1
     bwd = pltpu.roll(yf, shift=1, axis=2)              # lane 2j+1 <- 2j
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bs, heads, dh), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bs, h, dh), 2)
     swapped = jnp.where(lane % 2 == 0, fwd, bwd)
     c = c_ref[:].reshape(bs, 1, dh)
     s = s_ref[:].reshape(bs, 1, dh)
     out = yf * c + swapped * s
-    o_ref[0] = out.reshape(bs, d).astype(o_ref.dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _expand_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray, seq: int
@@ -126,32 +128,37 @@ def _expand_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray, seq: int
 @functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"))
 def _rmsnorm_rope_call(x, gamma, cfull, sfull, heads, eps, interpret):
     b, s, d = x.shape
+    dh = d // heads
     bs = _pick_block(s)
     s_p = _ceil_to(s, bs)
     if s_p != s:
         x = jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
         cfull = jnp.pad(cfull, ((0, s_p - s), (0, 0)), constant_values=1.0)
         sfull = jnp.pad(sfull, ((0, s_p - s), (0, 0)))
+    x4 = x.reshape(b, s_p, heads, dh)        # free outside the kernel
+    g4 = gamma.reshape(heads, dh)
     out = pl.pallas_call(
         functools.partial(_rmsnorm_rope_kernel, heads=heads, eps=eps),
         grid=(b, s_p // bs),
         in_specs=[
-            pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, bs, heads, dh), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, d // heads), lambda i, j: (j, 0),
+            pl.BlockSpec((heads, dh), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, d // heads), lambda i, j: (j, 0),
+            pl.BlockSpec((bs, dh), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, dh), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, bs, heads, dh),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_p, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s_p, heads, dh), x.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
-    )(x, gamma, cfull, sfull)
-    return out[:, :s]
+    )(x4, g4, cfull, sfull)
+    return out[:, :s].reshape(b, s, d)
 
 
 def rmsnorm_rope(x: jnp.ndarray, gamma: jnp.ndarray, cos: jnp.ndarray,

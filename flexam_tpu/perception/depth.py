@@ -88,9 +88,17 @@ def estimate_depth(video: np.ndarray, backend: str = None, **kw
     if backend is None:
         backend = os.environ.get("FLEXAM_DEPTH_BACKEND") or None
     if backend is None:
-        # prefer the real model when its checkpoint is available
-        ckpt = os.environ.get("FLEXAM_UNIDEPTH_CKPT")
-        backend = "unidepth" if ckpt and os.path.exists(ckpt) else "luminance"
+        # prefer a real model when its checkpoint is available: UniDepth
+        # (the reference pipeline's depth model) first, then ZoeDepth
+        # (the VideoToDepth annotator's model)
+        uni = os.environ.get("FLEXAM_UNIDEPTH_CKPT")
+        zoe = os.environ.get("FLEXAM_ZOE_CKPT")
+        if uni and os.path.exists(uni):
+            backend = "unidepth"
+        elif zoe and os.path.exists(zoe):
+            backend = "zoe"
+        else:
+            backend = "luminance"
     if backend not in DEPTH_BACKENDS:
         raise KeyError(f"unknown depth backend {backend!r}; "
                        f"have {sorted(DEPTH_BACKENDS)}")

@@ -890,6 +890,13 @@ class FlexAMGenerationPipeline:
         self._dit_host = None
         self._dit_src = None
 
+    def release_t5(self):
+        """Drop the text encoder after prompt encoding — the sequential
+        memory mode (`wan2_2_fun_flexam/nodes.py:322-346`): umT5-XXL
+        (~11 GB bf16) and the 5B DiT (~9.6 GB) cannot be co-resident on
+        a 16 GB chip; encode first, release, then run the DiT."""
+        self.models.t5_params = None
+
     def generate(self, video, prompt, mask_video=None, control_video=None,
                  depth_video=None, cos_videos=None, ref_image=None,
                  negative_prompt=None, num_inference_steps=50,

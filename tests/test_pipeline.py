@@ -297,3 +297,22 @@ def test_generate_with_forced_offload_and_host_cache(pipe):
     # swapping weights invalidates the cache
     pipe.set_dit_params(pipe.models.dit_params)
     assert pipe._dit_host is None
+
+
+def test_release_t5_sequential_memory_mode(pipe):
+    """Sequential memory mode (`wan2_2_fun_flexam/nodes.py:322-346`):
+    prompt encoding works, release_t5 drops the encoder, and the denoise
+    path still runs without it."""
+    ctx = pipe.encode_prompt("x", None, do_cfg=False)
+    saved = pipe.models.t5_params
+    try:
+        pipe.release_t5()
+        assert pipe.models.t5_params is None
+        video, mask, control, depth, cos, ref = _inputs()
+        cond = pipe.prepare_conditioning(video, mask, control, depth,
+                                         cos, ref)
+        lat = pipe.denoise(cond, ctx, num_inference_steps=1,
+                           guidance_scale=1.0, seed=0)
+        assert np.isfinite(np.asarray(lat)).all()
+    finally:
+        pipe.models.t5_params = saved   # module-scoped fixture
