@@ -107,9 +107,13 @@ def t5_encode(params: dict, cfg: T5Config, input_ids: jnp.ndarray,
     Returns last hidden states [B, L, dim].
     """
     l = input_ids.shape[1]
-    x = params["token_embedding"].astype(params["compute_dtype"]
-                                         if "compute_dtype" in params
-                                         else jnp.float32)[input_ids]
+    # gather BEFORE the cast: casting the whole 256k x 4096 vocab table
+    # first materializes a 4.2 GB fp32 transient, which OOMs a 16 GB
+    # chip next to the ~11.4 GB bf16 encoder weights (values identical —
+    # the gather does not change elements)
+    x = params["token_embedding"][input_ids].astype(
+        params["compute_dtype"] if "compute_dtype" in params
+        else jnp.float32)
     buckets = jnp.asarray(
         relative_position_buckets(l, l, cfg.num_buckets), jnp.int32)
 
