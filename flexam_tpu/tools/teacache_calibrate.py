@@ -59,9 +59,11 @@ def collect_signals(
     attn_fn = attn_fn or default_attention
 
     def one(params, x, t, prev_mod, prev_res):
+        # compute dtype follows the context (bf16 in production — an f32
+        # forward puts f32 q/k/v into the flash kernel and OOMs VMEM)
         tokens, e0, de0, _, _, cos, sin, ctx, _, _ = _dit_prepare(
-            params, cfg, x, t, context, density, y, additional_control,
-            full_ref, rope_tables)
+            params, cfg, x.astype(context.dtype), t, context, density, y,
+            additional_control, full_ref, rope_tables)
         mod = (e0[1][:, 0] if isinstance(e0, tuple)
                else e0[:, -1]).astype(jnp.float32)
         out = _dit_blocks(params, cfg, tokens, e0, de0, cos, sin, ctx,
