@@ -87,15 +87,29 @@ def main():
     tables = build_schedule("flow_match_euler", 50, shift=5.0)
     sched = schedule_arrays(tables)
 
+    # opt-in block-sparse video self-attention (FLEXAM_ATTENTION=sparse;
+    # FLEXAM_SPARSE_WINDOW sets the temporal window). The headline number
+    # stays dense — sparse attention changes which keys participate, so
+    # its speedup is reported as a separate BASELINE.md row.
+    attn_fn = None
+    if (os.environ.get("FLEXAM_ATTENTION", "").lower()
+            in ("sparse", "pallas_sparse")):
+        from flexam_tpu.ops.sparse_attention import sparse_attn_fn_for_latent
+        attn_fn = sparse_attn_fn_for_latent((f, h, w))
+        log("sparse video attention enabled "
+            f"(window={os.environ.get('FLEXAM_SPARSE_WINDOW', '2')})")
+
     @jax.jit
     def denoise_step(params, cond, sched, state, i):
         x = state[0]
         xb = jnp.tile(x.astype(jnp.bfloat16), (2, 1, 1, 1, 1))
         t = jnp.full((2 * b,), sched["timesteps"][i], jnp.float32)
+        extra = {"attn_fn": attn_fn} if attn_fn is not None else {}
         pred = dit_forward(params, cfg, xb, t, cond["context"],
                            density=cond["density"], y=cond["y"],
                            additional_control=cond["additional"],
-                           full_ref=cond["ref"], rope_tables=cond["rope"])
+                           full_ref=cond["ref"], rope_tables=cond["rope"],
+                           **extra)
         v = pred[0:1] + guidance * (pred[1:2] - pred[0:1])
         state, _ = sampler_step(sched, False, state, v.astype(jnp.float32), i)
         return state

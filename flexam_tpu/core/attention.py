@@ -11,6 +11,11 @@ SageAttention -> SDPA). Here the ladder is:
                  +8% at 35k (RIFLEx/long-video lengths) — opt in for
                  long sequences; bf16 stays the flagship default.
   xla          — fused XLA softmax attention (fp32 accum), CPU/GPU-safe
+  sparse       — block-sparse video self-attention (`ops/sparse_attention`,
+                 the paifuser sparse-attention equivalent); resolved at the
+                 pipeline level because the sparsity pattern needs the
+                 latent geometry — here it only picks the dense fallback
+                 for non-video calls
 
 selected by the `FLEXAM_ATTENTION` env var (mirrors `VIDEOX_ATTENTION_TYPE`,
 `attention_utils.py:191`; `sage`/`sageattn` map to pallas_int8) or
@@ -76,6 +81,10 @@ def _default_backend() -> str:
         return "pallas_int8"
     if env == "torch_sdpa":
         return "xla"
+    # "sparse" selects the block-sparse VIDEO kernel at the pipeline
+    # level (`pipeline._resolve_attn_fn` — it needs the latent geometry);
+    # generic calls under the same env, including the sparse closure's
+    # own cross-attention fallback, take the platform-default dense path
     try:
         platform = jax.devices()[0].platform
     except Exception:

@@ -624,6 +624,31 @@ class FlexAMGenerationPipeline:
 
     # -- denoise -------------------------------------------------------------
 
+    def _resolve_attn_fn(self, lt, lh, lw):
+        """Denoise-time attention resolution. Returns None (use
+        `self.attn_fn` inside the chunk jit) unless
+        `FLEXAM_ATTENTION=sparse` requests the block-sparse video kernel
+        AND no explicit attn_fn was injected; sparse closures are cached
+        per latent geometry so repeated denoise calls reuse the compiled
+        chunk executable (attn_fn is a static jit argument)."""
+        import os
+        env = os.environ.get("FLEXAM_ATTENTION", "").lower()
+        if env not in ("sparse", "pallas_sparse") \
+                or self.attn_fn is not default_attention:
+            return None
+        cache = getattr(self, "_sparse_attn_cache", None)
+        if cache is None:
+            cache = self._sparse_attn_cache = {}
+        window = int(os.environ.get("FLEXAM_SPARSE_WINDOW", "2"))
+        key = (lt, lh, lw, window)
+        if key not in cache:
+            from flexam_tpu.ops.sparse_attention import \
+                sparse_attn_fn_for_latent
+            cache[key] = sparse_attn_fn_for_latent(
+                (lt, lh, lw), patch=self.cfg.dit.patch_size,
+                has_ref=self.cfg.dit.add_ref_conv, window=window)
+        return cache[key]
+
     def denoise(
         self,
         cond: Dict,
@@ -687,6 +712,12 @@ class FlexAMGenerationPipeline:
         l_ref = ((lh // self.cfg.dit.patch_size[1])
                  * (lw // self.cfg.dit.patch_size[2]))
         use_teacache = teacache_thresh > 0.0
+        # opt-in block-sparse video self-attention (the paifuser sparse
+        # attention equivalent, ops/sparse_attention.py):
+        # FLEXAM_ATTENTION=sparse. Resolved here because the sparsity
+        # pattern is a function of the latent geometry; cached per
+        # geometry so the chunk executable is not retraced per call.
+        attn_fn = self._resolve_attn_fn(lt, lh, lw)
         # calibrated polynomial (tools/teacache_calibrate fits one per
         # checkpoint); default = the reference's fitted Wan2.2 table
         # (`cache_utils.py:4-18`) — passed as a dynamic arg so swapping
@@ -734,7 +765,8 @@ class FlexAMGenerationPipeline:
                     length, bool(cond["first_frame_known"]), with_cfg,
                     tables.convert, density is not None,
                     bool(cond.get("per_token_t", True)),
-                    float(teacache_thresh), int(teacache_skip_start))
+                    float(teacache_thresh), int(teacache_skip_start),
+                    attn_fn)
                 c0 += length
                 if checkpoint_cb is not None:
                     checkpoint_cb(c0 - 1, {
@@ -761,7 +793,7 @@ class FlexAMGenerationPipeline:
     steps_per_launch = 14
 
     @partial(jax.jit,
-             static_argnums=(0, 16, 17, 18, 19, 20, 21, 22, 23))
+             static_argnums=(0, 16, 17, 18, 19, 20, 21, 22, 23, 24))
     def _denoise_chunk_jit(self, params, state, tea, start,
                            control_latents, mask_latents,
                            masked_video_latents, additional_control,
@@ -769,7 +801,7 @@ class FlexAMGenerationPipeline:
                            tea_coeffs, guidance_scale, density, length,
                            first_frame_known, with_cfg, solver_convert,
                            has_density, per_token_t, teacache_thresh,
-                           teacache_skip_start):
+                           teacache_skip_start, attn_fn=None):
         cfg = self.cfg.dit
         dt = self.compute_dtype
         timesteps = sched["timesteps"]
@@ -814,7 +846,8 @@ class FlexAMGenerationPipeline:
                     if has_density else None)
             kw = dict(density=dens, y=yb, additional_control=acb,
                       full_ref=refb, rope_tables=self.rope_tables,
-                      attn_fn=self.attn_fn, binary_t_mask=bmask)
+                      attn_fn=attn_fn or self.attn_fn,
+                      binary_t_mask=bmask)
             if use_teacache:
                 return dit_forward_teacache(
                     params, cfg, xb, t_in, ctx, tea, i,
