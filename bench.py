@@ -24,16 +24,53 @@ import os
 import time
 
 
+def _cache_is_safe(cache_dir: str, timeout_s: float = 75.0) -> bool:
+    """Pre-flight the persistent compile cache in a SUBPROCESS.
+
+    Over the axon tunnel the cache's executable serialize/deserialize RPC
+    sometimes wedges for minutes (observed 2026-08-17: a trivial jit's
+    first call takes 2-4 min with the cache enabled, 1.7 s without — on
+    CPU the cache is fine, so it is the tunnel path). The hang is inside
+    a C++ call on the main thread, so it cannot be timed out in-process;
+    probing in a child keeps bench.py itself from hanging. FLEXAM_JAX_CACHE
+    overrides: "0" skips the cache (and the probe), "1" forces it on.
+    """
+    import subprocess
+    import sys
+
+    env = os.environ.get("FLEXAM_JAX_CACHE", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    code = (
+        "import jax\n"
+        f"jax.config.update('jax_compilation_cache_dir', {cache_dir!r})\n"
+        "import jax.numpy as jnp\n"
+        "float(jnp.sum(jax.jit(lambda x: x + 1)(jnp.ones((8, 128)))))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        print("[bench] persistent compile cache disabled: serialize RPC "
+              "over the tunnel is wedged (probe timed out)",
+              file=sys.stderr, flush=True)
+        return False
+
+
 def main():
     import sys
 
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    if _cache_is_safe(cache_dir):
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from flexam_tpu.config import WAN22_5B_FLEXAM
     from flexam_tpu.models.dit import (dit_forward, init_dit_params,

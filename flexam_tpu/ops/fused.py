@@ -39,13 +39,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 def fused_enabled() -> bool:
     """Pallas elementwise fusions run on real TPU unless FLEXAM_FUSED
-    overrides (1 forces on — tests use interpret mode; 0 forces off)."""
+    overrides (1 forces on — tests use interpret mode; 0 forces off).
+
+    On TPU the kernels are additionally PROBED once with a tiny real
+    call: the axon terminal's remote compile helper ships its own
+    libtpu, and a version-skewed Mosaic can reject kernels our jaxlib
+    emits (observed 2026-08-17: `layout.h:320` inferReshape abort). A
+    failing probe disables the fusions for the process — the DiT falls
+    back to the unfused XLA path instead of crashing mid-denoise."""
     env = os.environ.get("FLEXAM_FUSED")
     if env is not None:
         return env == "1"
     try:
-        return jax.devices()[0].platform == "tpu"
+        if jax.devices()[0].platform != "tpu":
+            return False
     except Exception:
+        return False
+    return _fused_compiles()
+
+
+@functools.lru_cache(maxsize=1)
+def _fused_compiles() -> bool:
+    import numpy as np
+    try:
+        x = jnp.ones((1, 8, 256), jnp.bfloat16)
+        g = jnp.ones((256,), jnp.float32)
+        cs = jnp.ones((8, 64), jnp.float32)
+        out = rmsnorm_rope(x, g, cs, cs * 0, 2)
+        sh = jnp.zeros((1, 2, 256), jnp.float32)
+        m = jnp.ones((1, 8), jnp.float32)
+        out2 = ln_modulation(x, sh, sh, mask=m)
+        out3 = ln_modulation(x, sh[:, 0], sh[:, 0])
+        float(np.asarray(out.astype(jnp.float32)).ravel()[0]
+              + np.asarray(out2.astype(jnp.float32)).ravel()[0]
+              + np.asarray(out3.astype(jnp.float32)).ravel()[0])
+        return True
+    except Exception as e:                      # pragma: no cover - infra
+        print("WARNING: fused Pallas kernels disabled — probe compile "
+              f"failed on this toolchain: {str(e)[:160]}", flush=True)
         return False
 
 
@@ -76,16 +107,21 @@ def _rmsnorm_rope_kernel(x_ref, g_ref, c_ref, s_ref, o_ref, *, heads: int,
                          eps: float):
     """x [1, bs, H, dh] (4D-NATIVE layout — a 2D->3D reshape inside the
     kernel forces a Mosaic relayout copy; keeping (H, dh) as the tiled
-    trailing dims avoids it); g [H, dh]; c/s [bs, dh] full-width tables
-    (pair-expanded, sign folded into s for the even outputs)."""
+    trailing dims avoids it); g [H, dh]; c/s [bs, 1, dh] full-width
+    tables (pair-expanded, sign folded into s for the even outputs; the
+    broadcast dim is materialized HOST-side — rank-changing reshapes
+    inside the kernel crash the terminal compile-helper's layout
+    inferencer, observed 2026-08-17: `layout.h:320 arr.size() >=
+    layout_rank` in inferReshape)."""
     x = x_ref[0]
     bs, h, dh = x.shape
     xf = x.astype(jnp.float32)
     inv = jax.lax.rsqrt(
         jnp.mean(xf * xf, axis=(-2, -1), keepdims=True) + eps)
     # match core.layers.rms_norm bit-for-bit: normalize in f32, cast to
-    # compute dtype, THEN scale by gamma in compute dtype
-    y = (xf * inv).astype(x.dtype) * g_ref[:].astype(x.dtype)[None]
+    # compute dtype, THEN scale by gamma in compute dtype (g is [1, H,
+    # dh] from the host — no [None] rank-change in-kernel)
+    y = (xf * inv).astype(x.dtype) * g_ref[:].astype(x.dtype)
 
     # rotation in f32 (core.rope.apply_rope runs fp32)
     yf = y.astype(jnp.float32)
@@ -95,8 +131,8 @@ def _rmsnorm_rope_kernel(x_ref, g_ref, c_ref, s_ref, o_ref, *, heads: int,
     bwd = pltpu.roll(yf, shift=1, axis=2)              # lane 2j+1 <- 2j
     lane = jax.lax.broadcasted_iota(jnp.int32, (bs, h, dh), 2)
     swapped = jnp.where(lane % 2 == 0, fwd, bwd)
-    c = c_ref[:].reshape(bs, 1, dh)
-    s = s_ref[:].reshape(bs, 1, dh)
+    c = c_ref[:]                                       # [bs, 1, dh]
+    s = s_ref[:]
     out = yf * c + swapped * s
     o_ref[0] = out.astype(o_ref.dtype)
 
@@ -136,18 +172,20 @@ def _rmsnorm_rope_call(x, gamma, cfull, sfull, heads, eps, interpret):
         cfull = jnp.pad(cfull, ((0, s_p - s), (0, 0)), constant_values=1.0)
         sfull = jnp.pad(sfull, ((0, s_p - s), (0, 0)))
     x4 = x.reshape(b, s_p, heads, dh)        # free outside the kernel
-    g4 = gamma.reshape(heads, dh)
+    g4 = gamma.reshape(1, heads, dh)
+    c3 = cfull.reshape(s_p, 1, dh)           # broadcast dim host-side
+    s3 = sfull.reshape(s_p, 1, dh)
     out = pl.pallas_call(
         functools.partial(_rmsnorm_rope_kernel, heads=heads, eps=eps),
         grid=(b, s_p // bs),
         in_specs=[
             pl.BlockSpec((1, bs, heads, dh), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, dh), lambda i, j: (0, 0),
+            pl.BlockSpec((1, heads, dh), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, dh), lambda i, j: (j, 0),
+            pl.BlockSpec((bs, 1, dh), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, dh), lambda i, j: (j, 0),
+            pl.BlockSpec((bs, 1, dh), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bs, heads, dh),
@@ -157,7 +195,7 @@ def _rmsnorm_rope_call(x, gamma, cfull, sfull, heads, eps, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
-    )(x4, g4, cfull, sfull)
+    )(x4, g4, c3, s3)
     return out[:, :s].reshape(b, s, d)
 
 
@@ -183,10 +221,11 @@ def rmsnorm_rope(x: jnp.ndarray, gamma: jnp.ndarray, cos: jnp.ndarray,
 
 def _ln_mod_binary_kernel(x_ref, sh_ref, sc_ref, m_ref, o_ref, *, eps: float):
     """x [1, bs, D]; sh/sc [1, 2, D] f32 (t-branch row 0, zero-branch row
-    1); m [B_full, bs] f32 mask (1 -> row 0) — the mask block keeps the
-    FULL batch dim (Mosaic requires sublane block dims divisible by 8 or
-    equal to the array dim; a (1, bs) block of a [2, S] array is
-    neither), indexed by the batch program id."""
+    1); m [bs, B_full] f32 mask, TRANSPOSED host-side so tokens lie on
+    sublanes (the batch column is picked with a lane-iota masked sum —
+    rank-1 row reads + rank-changing reshapes crash the terminal
+    compile-helper's layout inferencer, `layout.h:320` in inferReshape;
+    every value here stays rank >= 2)."""
     x = x_ref[0]
     bs, d = x.shape
     xf = x.astype(jnp.float32)
@@ -194,9 +233,13 @@ def _ln_mod_binary_kernel(x_ref, sh_ref, sc_ref, m_ref, o_ref, *, eps: float):
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     ln = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
-    m = m_ref[pl.program_id(0)].reshape(bs, 1)         # [bs, 1] f32
-    sh = m * sh_ref[0, 0] + (1.0 - m) * sh_ref[0, 1]   # [bs, D] f32
-    sc = m * sc_ref[0, 0] + (1.0 - m) * sc_ref[0, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, m_ref.shape, 1)
+    m = jnp.sum(jnp.where(lane == pl.program_id(0), m_ref[:], 0.0),
+                axis=1, keepdims=True)                 # [bs, 1] f32
+    sh2 = sh_ref[0]                                    # [2, D] f32
+    sc2 = sc_ref[0]
+    sh = m * sh2[0:1] + (1.0 - m) * sh2[1:2]           # [bs, D] f32
+    sc = m * sc2[0:1] + (1.0 - m) * sc2[1:2]
     one = x.dtype.type(1.0)
     o_ref[0] = (ln * (one + sc.astype(x.dtype))
                 + sh.astype(x.dtype)).astype(o_ref.dtype)
@@ -212,8 +255,10 @@ def _ln_mod_bcast_kernel(x_ref, sh_ref, sc_ref, o_ref, *, eps: float):
     ln = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     one = x.dtype.type(1.0)
     i = pl.program_id(0)
-    o_ref[0] = (ln * (one + sc_ref[i].astype(x.dtype))
-                + sh_ref[i].astype(x.dtype)).astype(o_ref.dtype)
+    sh = sh_ref[pl.ds(i, 1)]                 # [1, D] — rank-2 row read
+    sc = sc_ref[pl.ds(i, 1)]
+    o_ref[0] = (ln * (one + sc.astype(x.dtype))
+                + sh.astype(x.dtype)).astype(o_ref.dtype)
 
 
 def _pick_block_128(s: int, cap: int = 256) -> int:
@@ -235,6 +280,7 @@ def _ln_mod_binary_call(x, shift_pair, scale_pair, mask, eps, interpret):
     if s_p != s:
         x = jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, s_p - s)))
+    mask_t = jnp.transpose(mask.astype(jnp.float32))    # [S_p, B]
     out = pl.pallas_call(
         functools.partial(_ln_mod_binary_kernel, eps=eps),
         grid=(b, s_p // bs),
@@ -245,7 +291,7 @@ def _ln_mod_binary_call(x, shift_pair, scale_pair, mask, eps, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, bs), lambda i, j: (0, j),
+            pl.BlockSpec((bs, b), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
@@ -255,7 +301,7 @@ def _ln_mod_binary_call(x, shift_pair, scale_pair, mask, eps, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
     )(x, shift_pair.astype(jnp.float32), scale_pair.astype(jnp.float32),
-      mask.astype(jnp.float32))
+      mask_t)
     return out[:, :s]
 
 

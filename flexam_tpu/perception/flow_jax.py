@@ -219,20 +219,40 @@ def track_video_flow_device(
     levels: int = 4,
     radius: int = 7,
     iters: int = 4,
+    downscale: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Device-side drop-in for `tracking.track_video_flow`: same contract
     (tracks [T, N, 3] (u, v, depth), vis [T, N] bool), the video crosses
-    the link once as fp16, only the sparse tracks come back."""
+    the link once as fp16, only the sparse tracks come back.
+
+    `downscale` runs the flow pyramid at 1/ds resolution (auto: 2 at
+    >=384p, 1 below). Tracks sample a `density`-pixel grid, so half-res
+    flow costs ~4x less while the chained positions stay within the
+    bilinear-resample error of the full-res flow (track grids identical,
+    positions offset <=1 px from the grid-phase shift); the pyramid
+    already computed the coarser levels anyway — ds=2 just drops the
+    finest one. Auto-disabled when `density`/geometry is not divisible
+    by ds (the grid would change size)."""
     from flexam_tpu.perception.depth import estimate_depth
     from flexam_tpu.perception.tracking import _to_thwc
 
     v = _to_thwc(video)
     t, h, w, _ = v.shape
+    if downscale is None:
+        downscale = 2 if min(h, w) >= 384 else 1
+    ds = int(downscale)
+    if ds < 1 or (ds & (ds - 1)) or density % ds or h % ds or w % ds:
+        ds = 1
     lum = np.asarray([0.299, 0.587, 0.114], np.float32)
     depth = estimate_depth(v, backend=depth_backend)       # [T, H, W]
     gray = jnp.asarray((v @ lum).astype(np.float16)).astype(jnp.float32)
+    depth_j = jnp.asarray(np.asarray(depth, np.float16)).astype(jnp.float32)
+    for _ in range(int(np.log2(ds)) if ds > 1 else 0):
+        gray = _avg_pool2(gray)
+        depth_j = _avg_pool2(depth_j)
     tracks, vis = _track_device(
-        gray, jnp.asarray(np.asarray(depth, np.float16)).astype(jnp.float32),
-        int(density), float(fb_thresh), int(levels), int(radius),
-        int(iters))
+        gray, depth_j, int(density) // ds, float(fb_thresh) / ds,
+        int(levels), int(radius), int(iters))
+    if ds > 1:
+        tracks = tracks * jnp.asarray([ds, ds, 1.0], jnp.float32)
     return (np.asarray(tracks, np.float32), np.asarray(vis))

@@ -79,6 +79,30 @@ def test_track_device_matches_host_on_static_scene():
     assert vd.all() and vh.all()
 
 
+def test_downscale_matches_full_res_tracks():
+    """downscale=2 (the flagship default: flow at half resolution) keeps
+    the same track-grid shape and chained positions within ~2 px of the
+    full-res run on a uniformly translating scene."""
+    h, w, t, shift = 64, 80, 5, 2
+    big = _pattern(h + 4 * t, w + 4 * t, seed=5)
+    frames = np.stack([big[4:4 + h, 4 + shift * i:4 + w + shift * i]
+                       for i in range(t)])
+    video = np.repeat(frames[..., None], 3, axis=-1)
+    t1, v1 = track_video_flow_device(video, density=8, downscale=1)
+    t2, v2 = track_video_flow_device(video, density=8, downscale=2)
+    assert t1.shape == t2.shape
+    both = v1.all(axis=0) & v2.all(axis=0)
+    inner = both & (t1[0, :, 0] > 12) & (t1[0, :, 0] < w - 12) \
+        & (t1[0, :, 1] > 12) & (t1[0, :, 1] < h - 12)
+    assert inner.sum() >= 4
+    # start positions differ by the grid-phase shift (<= ds px); the
+    # MOTION they recover must agree closely
+    d1 = t1[-1, inner, :2] - t1[0, inner, :2]
+    d2 = t2[-1, inner, :2] - t2[0, inner, :2]
+    assert np.median(np.abs(d1 - d2)) < 1.0, (np.median(d1, 0),
+                                              np.median(d2, 0))
+
+
 def test_occlusion_kills_tracks():
     """Forward<->backward inconsistency (an occluder appearing) marks
     affected tracks invisible, like the host baseline's rule."""
