@@ -116,8 +116,12 @@ def _rmsnorm_rope_kernel(x_ref, g_ref, c_ref, s_ref, o_ref, *, heads: int,
     x = x_ref[0]
     bs, h, dh = x.shape
     xf = x.astype(jnp.float32)
+    # sequential means, NOT axis=(-2,-1): the multi-axis reduce is the
+    # exact op the helper's layout inferencer aborts on (bisected
+    # 2026-08-17); mean-of-means is equal for uniform dims
     inv = jax.lax.rsqrt(
-        jnp.mean(xf * xf, axis=(-2, -1), keepdims=True) + eps)
+        jnp.mean(jnp.mean(xf * xf, axis=-1, keepdims=True), axis=-2,
+                 keepdims=True) + eps)
     # match core.layers.rms_norm bit-for-bit: normalize in f32, cast to
     # compute dtype, THEN scale by gamma in compute dtype (g is [1, H,
     # dh] from the host — no [None] rank-change in-kernel)
@@ -159,6 +163,61 @@ def _expand_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray, seq: int
     else:
         cf, sf = cf[:seq], sf[:seq]
     return cf, sf
+
+
+def _rmsnorm_rope_kernel_2d(x_ref, g_ref, c_ref, s_ref, o_ref, *,
+                            eps: float):
+    """Full-width 2-D variant: x [1, bs, D]; g [1, D]; c/s [bs, D]
+    head-tiled tables. The rotation pair (2j, 2j+1) never straddles a
+    head boundary (dh is even), so the lane roll works on the full D
+    axis; everything stays in the natural (sublane=token, lane=feature)
+    layout — no 3-D/4-D vectors for Mosaic to lay out at all."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    y = (xf * inv).astype(x.dtype) * g_ref[:].astype(x.dtype)
+    yf = y.astype(jnp.float32)
+    d = yf.shape[-1]
+    fwd = pltpu.roll(yf, shift=d - 1, axis=1)
+    bwd = pltpu.roll(yf, shift=1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, yf.shape, 1)
+    swapped = jnp.where(lane % 2 == 0, fwd, bwd)
+    o_ref[0] = (yf * c_ref[:] + swapped * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"))
+def _rmsnorm_rope_call_2d(x, gamma, cfull, sfull, heads, eps, interpret):
+    b, s, d = x.shape
+    bs = _pick_block(s)
+    s_p = _ceil_to(s, bs)
+    if s_p != s:
+        x = jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
+        cfull = jnp.pad(cfull, ((0, s_p - s), (0, 0)), constant_values=1.0)
+        sfull = jnp.pad(sfull, ((0, s_p - s), (0, 0)))
+    cD = jnp.tile(cfull, (1, heads))                   # [S_p, D]
+    sD = jnp.tile(sfull, (1, heads))
+    g2 = gamma.reshape(1, d)
+    out = pl.pallas_call(
+        functools.partial(_rmsnorm_rope_kernel_2d, eps=eps),
+        grid=(b, s_p // bs),
+        in_specs=[
+            pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_p, d), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x, g2, cD, sD)
+    return out[:, :s]
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"))
@@ -210,8 +269,12 @@ def rmsnorm_rope(x: jnp.ndarray, gamma: jnp.ndarray, cos: jnp.ndarray,
     b, s, d = x.shape
     dh = d // num_heads
     cfull, sfull = _expand_rope_tables(cos, sin, s)
-    out = _rmsnorm_rope_call(x, gamma, cfull, sfull, num_heads, eps,
-                             interpret)
+    # two kernel layouts: 4D (bs, H, dh) blocks vs full-width 2D with
+    # head-tiled tables; FLEXAM_RMSROPE_2D=0/1 overrides the default
+    call = (_rmsnorm_rope_call_2d
+            if os.environ.get("FLEXAM_RMSROPE_2D", "0") == "1"
+            else _rmsnorm_rope_call)
+    out = call(x, gamma, cfull, sfull, num_heads, eps, interpret)
     return out.reshape(b, s, num_heads, dh)
 
 
