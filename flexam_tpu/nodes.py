@@ -265,7 +265,8 @@ class FunAttention:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {"required": {"attention_type": (["pallas", "xla"],)}}
+        return {"required": {"attention_type": (["pallas", "pallas_int8",
+                                                 "sparse", "xla"],)}}
 
     RETURN_TYPES = ("STRING",)
     FUNCTION = "process"
