@@ -103,6 +103,9 @@ def main():
     params = make_params(jax.random.PRNGKey(0))
     # force materialization
     float(jnp.sum(params["head"]["head"]["bias"].astype(jnp.float32)))
+    # eager fused-kernel probe (must run OUTSIDE the denoise jit trace)
+    from flexam_tpu.ops.fused import fused_enabled
+    log(f"fused kernels available: {fused_enabled()}")
     log(f"5B param init: {time.perf_counter() - t_init:.1f}s on "
         f"{jax.devices()[0]}")
     rope = jnp.asarray(make_rope_tables_for(cfg), jnp.float32)

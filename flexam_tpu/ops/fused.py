@@ -55,6 +55,16 @@ def fused_enabled() -> bool:
             return False
     except Exception:
         return False
+    if not jax.core.trace_state_clean():
+        # called at TRACE time (dit_forward inside jit): the probe can't
+        # execute here — running jitted kernels under an active trace
+        # inlines them as tracers and np.asarray explodes. Use the
+        # cached verdict when one exists; otherwise assume available
+        # (callers hoist an eager fused_enabled() before entering jit —
+        # pipeline.denoise and bench.py do).
+        if _fused_compiles.cache_info().currsize:
+            return _fused_compiles()
+        return True
     return _fused_compiles()
 
 

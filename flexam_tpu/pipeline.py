@@ -712,6 +712,11 @@ class FlexAMGenerationPipeline:
         l_ref = ((lh // self.cfg.dit.patch_size[1])
                  * (lw // self.cfg.dit.patch_size[2]))
         use_teacache = teacache_thresh > 0.0
+        # hoist the fused-kernel availability probe OUTSIDE the chunk jit:
+        # at trace time the probe cannot run (tracer leak) and would
+        # silently disable the fusions
+        from flexam_tpu.ops.fused import fused_enabled
+        fused_enabled()
         # opt-in block-sparse video self-attention (the paifuser sparse
         # attention equivalent, ops/sparse_attention.py):
         # FLEXAM_ATTENTION=sparse. Resolved here because the sparsity
