@@ -55,7 +55,8 @@ def fused_enabled() -> bool:
             return False
     except Exception:
         return False
-    if not jax.core.trace_state_clean():
+    from jax._src import core as _core
+    if not _core.trace_state_clean():
         # called at TRACE time (dit_forward inside jit): the probe can't
         # execute here — running jitted kernels under an active trace
         # inlines them as tracers and np.asarray explodes. Use the
