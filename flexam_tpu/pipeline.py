@@ -1015,10 +1015,33 @@ class FlexAMGenerationPipeline:
             # decoder's — bigger groups halve the launch count (the axon
             # link is per-launch-latency bound when degraded)
             dit_resident = self.models.dit_params is not None
-            return vae_decode_streamed_u8(
-                self.models.vae_params, self.cfg.vae,
-                latents.astype(self.compute_dtype),
-                group_size=(2 if big else 4) if dit_resident else 4)
+            import os as _os
+            env_g = _os.environ.get("FLEXAM_DECODE_GROUP")
+            first = int(env_g) if env_g else (
+                (2 if big else 4) if dit_resident else 4)
+            # OOM retry ladder: toolchain/XLA versions move the streamed
+            # decoder's HLO-temp footprint by gigabytes at flagship
+            # resolution (measured 2026-08-17: the same group-4 program
+            # went from fitting to 16.6 GB under a compiler swap).
+            # Halving the group trades launches for memory instead of
+            # failing the whole generate().
+            sizes = [g for g in (first, 2, 1) if g <= first]
+            sizes = sorted(set(sizes), reverse=True)
+            last = None
+            for g in sizes:
+                try:
+                    return vae_decode_streamed_u8(
+                        self.models.vae_params, self.cfg.vae,
+                        latents.astype(self.compute_dtype), group_size=g)
+                except jax.errors.JaxRuntimeError as e:
+                    msg = str(e)
+                    if ("RESOURCE_EXHAUSTED" not in msg
+                            and "out of memory" not in msg.lower()):
+                        raise
+                    print(f"WARNING: streamed decode OOM at group_size="
+                          f"{g}; retrying smaller", flush=True)
+                    last = e
+            raise last
         out = self._to_u8_jit(self._decode(latents))     # [B, 3, T, H, W]
         return np.asarray(out).transpose(0, 2, 3, 4, 1)
 
