@@ -1028,19 +1028,28 @@ class FlexAMGenerationPipeline:
             sizes = [g for g in (first, 2, 1) if g <= first]
             sizes = sorted(set(sizes), reverse=True)
             last = None
-            for g in sizes:
+            for i, g in enumerate(sizes):
                 try:
                     return vae_decode_streamed_u8(
                         self.models.vae_params, self.cfg.vae,
                         latents.astype(self.compute_dtype), group_size=g)
-                except jax.errors.JaxRuntimeError as e:
-                    msg = str(e)
+                except Exception as e:       # OOM surfaces as
+                    msg = str(e)             # JaxRuntimeError OR ValueError
                     if ("RESOURCE_EXHAUSTED" not in msg
                             and "out of memory" not in msg.lower()):
                         raise
                     print(f"WARNING: streamed decode OOM at group_size="
                           f"{g}; retrying smaller", flush=True)
                     last = e
+                    import gc
+                    import time as _time
+                    gc.collect()
+                    if i == len(sizes) - 2:
+                        # last resort next: also drop cached executables
+                        # (their device allocations) before the smallest
+                        # group attempt
+                        jax.clear_caches()
+                    _time.sleep(2.0)
             raise last
         out = self._to_u8_jit(self._decode(latents))     # [B, 3, T, H, W]
         return np.asarray(out).transpose(0, 2, 3, 4, 1)
