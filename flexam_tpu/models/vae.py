@@ -96,11 +96,15 @@ def channel_rms_norm(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
     * gamma. Channels-last input; fp32 accumulation."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    # F.normalize clamps ||x|| at eps=1e-12
+    # F.normalize clamps ||x|| at eps=1e-12. The fp32 copy of x must only
+    # exist inside the reduction (XLA fuses convert+mul into the reduce);
+    # applying the scale in fp32 materializes a whole-activation fp32 temp
+    # that OOMs flagship-resolution decode (measured 2026-08-17: +3.5 GB
+    # HLO temp per group under a toolchain that stopped fusing it).
     norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
     norm = jnp.maximum(norm, 1e-12)
-    scale = math.sqrt(x.shape[-1])
-    return ((xf / norm) * scale).astype(dtype) * gamma.astype(dtype)
+    inv = (math.sqrt(x.shape[-1]) / norm).astype(dtype)
+    return x * inv * gamma.astype(dtype)
 
 
 def _silu(x):

@@ -175,7 +175,21 @@ def _decoder_cache_shapes(cfg: VAEConfig, b, lh, lw, dtype):
     return caches
 
 
+# Steady-state caches are donated: each call consumes the previous
+# group's carried conv caches and returns the next — aliasing them
+# shrinks the streamed decoder's footprint by the cache size (measured
+# 2026-08-17: flagship group-4 decode was 16.34 G with output sharing
+# 0 B with arguments, 607 M over the 15.75 G HBM). The FIRST group
+# cannot donate: its caches come from host-built `jnp.zeros` whose
+# identical constants may be deduped into one buffer ("donate the same
+# buffer twice"); it compiles a separate executable anyway (first=True
+# is a static arg), so nothing extra is compiled.
 @partial(jax.jit, static_argnums=(1, 4))
+def _decode_group_jit_first(params, cfg, x, caches, first):
+    return _decoder_group(params, cfg, x, caches, first)
+
+
+@partial(jax.jit, static_argnums=(1, 4), donate_argnums=(3,))
 def _decode_group_jit(params, cfg, x, caches, first):
     return _decoder_group(params, cfg, x, caches, first)
 
@@ -203,7 +217,8 @@ def _decode_groups(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
     while idx < lt:
         take = first_g if first else min(g, lt - idx)
         chunk = x[:, idx:idx + take]
-        y, caches = _decode_group_jit(params, cfg, chunk, caches, first)
+        fn = _decode_group_jit_first if first else _decode_group_jit
+        y, caches = fn(params, cfg, chunk, caches, first)
         yield y
         idx += take
         first = False
@@ -327,6 +342,11 @@ def _encoder_cache_shapes(cfg: VAEConfig, b, h2, w2, dtype):
 
 
 @partial(jax.jit, static_argnums=(1, 4))
+def _encode_group_jit_first(params, cfg, x, caches, first):
+    return _encoder_group(params, cfg, x, caches, first)
+
+
+@partial(jax.jit, static_argnums=(1, 4), donate_argnums=(3,))
 def _encode_group_jit(params, cfg, x, caches, first):
     return _encoder_group(params, cfg, x, caches, first)
 
@@ -359,7 +379,8 @@ def vae_encode_stream_fn(params: dict, cfg: VAEConfig, frame_fn,
         if caches is None:
             caches = _encoder_cache_shapes(cfg, b, x.shape[2], x.shape[3],
                                            x.dtype)
-        y, caches = _encode_group_jit(params, cfg, x, caches, first)
+        efn = _encode_group_jit_first if first else _encode_group_jit
+        y, caches = efn(params, cfg, x, caches, first)
         outs.append(y)
         idx += take
         first = False
