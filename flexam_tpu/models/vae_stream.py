@@ -266,6 +266,89 @@ def vae_decode_streamed_u8(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
     return np.concatenate([np.asarray(o) for o in outs], axis=1)
 
 
+@jax.jit
+def _group_to_yuv420(y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-unpatchify decoder group -> full-range BT.601 YUV 4:2:0 uint8:
+    (Y [B, t, H, W], UV PLANAR [B, t, 2, H/2, W/2]).
+
+    The UV planes are channel-FIRST on purpose: a trailing dim of 2 would
+    sit in the TPU lane (minor-most) dimension, padding every tile 2->128
+    and making the D2H fetch/linearization pathologically slow (measured
+    ~65 s vs ~9 s for the whole u8 path at flagship scale); planar keeps
+    W/2 minor. Planar is also what I420 media encoders consume."""
+    up = unpatchify(y, 2)
+    rgb = (jnp.clip(up.astype(jnp.float32), -1.0, 1.0) + 1.0) * (255.0 / 2.0)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    uv = jnp.stack([u, v], axis=2)                    # [B, t, 2, H, W]
+    bb, t, _, h, w = uv.shape
+    uv = uv.reshape(bb, t, 2, h // 2, 2, w // 2, 2).mean(axis=(4, 6))
+    to_u8 = lambda x: jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+    return to_u8(luma), to_u8(uv)
+
+
+def yuv420_to_rgb(luma: "np.ndarray", uv: "np.ndarray") -> "np.ndarray":
+    """Host inverse of `_group_to_yuv420` (chroma upsampled nearest/bilinear):
+    (Y [B, T, H, W], UV planar [B, T, 2, H/2, W/2]) -> uint8 RGB
+    [B, T, H, W, 3]. Uses cv2's SIMD I420 converter when available (the
+    numpy path costs tens of seconds at flagship scale on one core)."""
+    import numpy as np
+    bb, t, h, w = luma.shape
+    try:
+        import cv2
+        out = np.empty((bb, t, h, w, 3), np.uint8)
+        buf = np.empty((h + h // 2, w), np.uint8)
+        half = uv.reshape(bb, t, 2, -1)               # U rows then V rows
+        for bi in range(bb):
+            for ti in range(t):
+                buf[:h] = luma[bi, ti]
+                buf[h:h + h // 4] = half[bi, ti, 0].reshape(h // 4, w)
+                buf[h + h // 4:] = half[bi, ti, 1].reshape(h // 4, w)
+                cv2.cvtColor(buf, cv2.COLOR_YUV2RGB_I420, dst=out[bi, ti])
+        return out
+    except ImportError:
+        yf = luma.astype(np.float32)
+        uvf = uv.astype(np.float32) - 128.0
+        uvf = uvf.repeat(2, axis=-2).repeat(2, axis=-1)
+        u, v = uvf[:, :, 0], uvf[:, :, 1]
+        r = yf + 1.402 * v
+        g = yf - 0.344136 * u - 0.714136 * v
+        b = yf + 1.772 * u
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def vae_decode_streamed_yuv420(params: dict, cfg: VAEConfig,
+                               zlat: jnp.ndarray, group_size: int = 4
+                               ) -> Tuple["np.ndarray", "np.ndarray"]:
+    """Streamed decode fetching YUV 4:2:0 instead of RGB: HOST uint8
+    (Y [B, T, H, W], UV planar [B, T, 2, H/2, W/2]) — 1.5 bytes/pixel vs 3.
+
+    The delivered video is h264-encoded to yuv420p anyway, so subsampling
+    chroma ON DEVICE loses nothing the media encoder wouldn't discard,
+    while halving the bytes crossing the (tens-of-MB/s) axon tunnel — the
+    flagship decode phase is fetch-bound (~11 s of its 11.6 s is the uint8
+    copy). Same group-overlapped async fetch as the u8 path. NOT
+    byte-identical to `vae_decode_streamed_u8` (4:2:0 chroma); opt-in via
+    FLEXAM_DECODE_FETCH=yuv420 in the pipeline.
+    """
+    import numpy as np
+    ys, uvs = [], []
+    for y in _decode_groups(params, cfg, zlat, group_size):
+        luma, uv = _group_to_yuv420(y)
+        for a in (luma, uv):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        ys.append(luma)
+        uvs.append(uv)
+    return (np.concatenate([np.asarray(a) for a in ys], axis=1),
+            np.concatenate([np.asarray(a) for a in uvs], axis=1))
+
+
 # ---------------------------------------------------------------------------
 # Encoder groups
 # ---------------------------------------------------------------------------

@@ -1027,9 +1027,21 @@ class FlexAMGenerationPipeline:
             # failing the whole generate().
             sizes = [g for g in (first, 2, 1) if g <= first]
             sizes = sorted(set(sizes), reverse=True)
+            # FLEXAM_DECODE_FETCH=yuv420 fetches device-subsampled 4:2:0
+            # (1.5 B/px vs 3) and reassembles RGB on host — halves the
+            # decode phase's tunnel bytes; lossless w.r.t. the yuv420p
+            # media encode the video gets anyway.
+            yuv = _os.environ.get("FLEXAM_DECODE_FETCH", "") == "yuv420"
             last = None
             for i, g in enumerate(sizes):
                 try:
+                    if yuv:
+                        from flexam_tpu.models.vae_stream import (
+                            vae_decode_streamed_yuv420, yuv420_to_rgb)
+                        luma, uv = vae_decode_streamed_yuv420(
+                            self.models.vae_params, self.cfg.vae,
+                            latents.astype(self.compute_dtype), group_size=g)
+                        return yuv420_to_rgb(luma, uv)
                     return vae_decode_streamed_u8(
                         self.models.vae_params, self.cfg.vae,
                         latents.astype(self.compute_dtype), group_size=g)

@@ -56,3 +56,39 @@ def test_decode_streamed_u8_matches_streamed(params):
     got = vae_decode_streamed_u8(params, TINY, z, group_size=3)
     assert got.dtype == np.uint8 and got.shape == ref_u8.shape
     np.testing.assert_array_equal(got, ref_u8)
+
+
+def test_decode_streamed_yuv420_matches_spec(params):
+    """Device YUV 4:2:0 fetch == a numpy reference of the same BT.601
+    full-range + 2x2 chroma-average spec applied to the float streamed
+    decode (±1 from independent rounding); luma stays near-exact vs the
+    uint8 path. (RGB-vs-RGB distance is content-dependent — random-weight
+    decoder output is chroma noise — so parity is against the spec.)"""
+    from flexam_tpu.models.vae_stream import (vae_decode_streamed,
+                                              vae_decode_streamed_u8,
+                                              vae_decode_streamed_yuv420,
+                                              yuv420_to_rgb)
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 5, 2, 2),
+                          jnp.float32) * 0.5
+    luma, uv = vae_decode_streamed_yuv420(params, TINY, z, group_size=2)
+    exact = vae_decode_streamed_u8(params, TINY, z, group_size=2)
+    b, t, h, w, _ = exact.shape
+    assert luma.shape == (b, t, h, w) and luma.dtype == np.uint8
+    assert uv.shape == (b, t, 2, h // 2, w // 2) and uv.dtype == np.uint8
+    rgb = yuv420_to_rgb(luma, uv)
+    assert rgb.shape == exact.shape and rgb.dtype == np.uint8
+
+    ref = np.asarray(vae_decode_streamed(params, TINY, z, group_size=2))
+    rf = (np.clip(ref.transpose(0, 2, 3, 4, 1), -1, 1) + 1.0) * 127.5
+    r, g, bl = rf[..., 0], rf[..., 1], rf[..., 2]
+    y_ref = 0.299 * r + 0.587 * g + 0.114 * bl
+    u_ref = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+    v_ref = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+    uv_ref = np.stack([u_ref, v_ref], 2).reshape(
+        b, t, 2, h // 2, 2, w // 2, 2).mean(axis=(4, 6))
+    assert np.abs(luma.astype(np.float32) - y_ref).max() <= 1.0
+    assert np.abs(uv.astype(np.float32) - uv_ref).max() <= 1.0
+    # luma also near-exact vs the uint8 RGB path
+    ef = exact.astype(np.float32)
+    y_u8 = 0.299 * ef[..., 0] + 0.587 * ef[..., 1] + 0.114 * ef[..., 2]
+    assert np.abs(luma.astype(np.float32) - y_u8).max() <= 1.5
