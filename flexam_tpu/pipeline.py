@@ -237,9 +237,13 @@ class FlexAMGenerationPipeline:
     # -- VAE stages ----------------------------------------------------------
 
     # whole-clip VAE compute above this many pixel-frame-elements switches
-    # to the group-streamed path (the whole-clip decode needs ~46 GB HBM at
-    # 512x896x97f; see flexam_tpu/models/vae_stream.py)
-    VAE_STREAM_THRESHOLD = 24_000_000
+    # to the group-streamed path. Whole-clip decode needs ~46 GB HBM at
+    # 512x896x97f (44.5 M) — scaling that linearly, a 16 GB v5e fits only
+    # ~15 M whole-clip; 8 M leaves headroom for resident weights (a 49f
+    # 512x896 decode at 23.8 M measured OOM under the old 24 M threshold).
+    # Streaming is exact (see flexam_tpu/models/vae_stream.py), so the
+    # only cost of streaming smaller clips is a few extra launches.
+    VAE_STREAM_THRESHOLD = 8_000_000
 
     def _use_streaming(self, n_clips, t, h, w) -> bool:
         return n_clips * t * h * w > self.VAE_STREAM_THRESHOLD
