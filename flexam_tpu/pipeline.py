@@ -923,8 +923,17 @@ class FlexAMGenerationPipeline:
         self._dit_src = None
 
     def restore_dit(self):
+        """Put the offloaded DiT weights back on device. On a degraded
+        link (RTT probe) the ~10 GB upload goes leaf-wise through
+        `staged_put` — bounded chunks with per-chunk retry — instead of
+        one all-or-nothing transfer that a transport hiccup aborts."""
         if self.models.dit_params is None and getattr(self, "_dit_host", None) is not None:
-            self.models.dit_params = jax.device_put(self._dit_host)
+            from flexam_tpu.utils.linkprobe import probe_link, staged_put
+            if probe_link().get("healthy", True):
+                self.models.dit_params = jax.device_put(self._dit_host)
+            else:
+                self.models.dit_params = jax.tree_util.tree_map(
+                    staged_put, self._dit_host)
             self._dit_src = self.models.dit_params
 
     def release_dit(self):

@@ -49,3 +49,39 @@ def test_pipeline_probe_recorded(monkeypatch):
     a = np.random.rand(6, 5).astype(np.float32)
     out = P.FlexAMGenerationPipeline._put(pipe, a)
     np.testing.assert_array_equal(np.asarray(out), a)
+
+
+def test_restore_dit_staged_on_degraded_link():
+    """restore_dit under a degraded link goes leaf-wise through
+    staged_put and restores identical weights."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    import flexam_tpu.pipeline as P
+    from flexam_tpu.utils import linkprobe
+
+    pipe = object.__new__(P.FlexAMGenerationPipeline)
+
+    class _Models:
+        dit_params = None
+    pipe.models = _Models()
+    host = {"a": np.random.rand(32, 16).astype(np.float32),
+            "b": {"w": np.random.rand(8).astype(np.float32)}}
+    pipe._dit_host = host
+    # seed the probe cache with a degraded result (cache is checked
+    # before the cpu short-circuit, so this works on any platform)
+    linkprobe._CACHE.update(
+        t=_time.monotonic(),
+        result={"rtt_ms_median": 500.0, "rtt_ms_p90": 900.0,
+                "healthy": False, "platform": "tpu"})
+    try:
+        P.FlexAMGenerationPipeline.restore_dit(pipe)
+    finally:
+        linkprobe.reset_probe_cache()
+    assert pipe.models.dit_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(pipe.models.dit_params["a"]), host["a"])
+    np.testing.assert_array_equal(
+        np.asarray(pipe.models.dit_params["b"]["w"]), host["b"]["w"])
+    assert pipe._dit_src is pipe.models.dit_params
