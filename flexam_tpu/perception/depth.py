@@ -73,10 +73,20 @@ def _zoe_lazy(video: np.ndarray, **kw) -> np.ndarray:
     return zoe_depth_video(video, **kw)
 
 
+def _depthcrafter_lazy(video: np.ndarray, **kw) -> np.ndarray:
+    """DepthCrafter surface (`pipelines.py:1307-1360`, disabled branch):
+    reference-exact pre/post + windowed driver around an injectable
+    denoiser (external weights; substitute denoiser by default). See
+    flexam_tpu.perception.depthcrafter."""
+    from flexam_tpu.perception.depthcrafter import _depthcrafter_backend
+    return _depthcrafter_backend(video, **kw)
+
+
 register_depth_backend("luminance", _luminance_depth)
 register_depth_backend("onnx", _onnx_depth)
 register_depth_backend("unidepth", _unidepth_lazy)
 register_depth_backend("zoe", _zoe_lazy)
+register_depth_backend("depthcrafter", _depthcrafter_lazy)
 
 
 def estimate_depth(video: np.ndarray, backend: str = None, **kw
