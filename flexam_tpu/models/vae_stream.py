@@ -268,8 +268,14 @@ def vae_decode_streamed_u8(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
 
 @jax.jit
 def _group_to_yuv420(y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pre-unpatchify decoder group -> full-range BT.601 YUV 4:2:0 uint8:
-    (Y [B, t, H, W], UV PLANAR [B, t, 2, H/2, W/2]).
+    """Pre-unpatchify decoder group -> LIMITED-range (studio-swing)
+    BT.601 YUV 4:2:0 uint8: (Y [B, t, H, W], UV PLANAR [B, t, 2, H/2,
+    W/2]).
+
+    Limited range on purpose: it is the yuv420p video convention the
+    planes would be piped into an h264 encoder as, AND what cv2's I420
+    inverse assumes — emitting JPEG/full-range planes here measured a
+    ~4 dB avoidable PSNR loss through the cv2 reassembly path.
 
     The UV planes are channel-FIRST on purpose: a trailing dim of 2 would
     sit in the TPU lane (minor-most) dimension, padding every tile 2->128
@@ -279,9 +285,9 @@ def _group_to_yuv420(y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     up = unpatchify(y, 2)
     rgb = (jnp.clip(up.astype(jnp.float32), -1.0, 1.0) + 1.0) * (255.0 / 2.0)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    luma = 0.299 * r + 0.587 * g + 0.114 * b
-    u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    luma = 16.0 + 0.256788 * r + 0.504129 * g + 0.097906 * b
+    u = 128.0 - 0.148223 * r - 0.290993 * g + 0.439216 * b
+    v = 128.0 + 0.439216 * r - 0.367788 * g - 0.071427 * b
     uv = jnp.stack([u, v], axis=2)                    # [B, t, 2, H, W]
     bb, t, _, h, w = uv.shape
     uv = uv.reshape(bb, t, 2, h // 2, 2, w // 2, 2).mean(axis=(4, 6))
@@ -309,13 +315,13 @@ def yuv420_to_rgb(luma: "np.ndarray", uv: "np.ndarray") -> "np.ndarray":
                 cv2.cvtColor(buf, cv2.COLOR_YUV2RGB_I420, dst=out[bi, ti])
         return out
     except ImportError:
-        yf = luma.astype(np.float32)
+        yf = (luma.astype(np.float32) - 16.0) * 1.164383
         uvf = uv.astype(np.float32) - 128.0
         uvf = uvf.repeat(2, axis=-2).repeat(2, axis=-1)
         u, v = uvf[:, :, 0], uvf[:, :, 1]
-        r = yf + 1.402 * v
-        g = yf - 0.344136 * u - 0.714136 * v
-        b = yf + 1.772 * u
+        r = yf + 1.596027 * v
+        g = yf - 0.391762 * u - 0.812968 * v
+        b = yf + 2.017232 * u
         rgb = np.stack([r, g, b], axis=-1)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 

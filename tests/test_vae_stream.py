@@ -81,14 +81,16 @@ def test_decode_streamed_yuv420_matches_spec(params):
     ref = np.asarray(vae_decode_streamed(params, TINY, z, group_size=2))
     rf = (np.clip(ref.transpose(0, 2, 3, 4, 1), -1, 1) + 1.0) * 127.5
     r, g, bl = rf[..., 0], rf[..., 1], rf[..., 2]
-    y_ref = 0.299 * r + 0.587 * g + 0.114 * bl
-    u_ref = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
-    v_ref = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+    # limited-range (studio-swing) BT.601 — the yuv420p video convention
+    y_ref = 16.0 + 0.256788 * r + 0.504129 * g + 0.097906 * bl
+    u_ref = 128.0 - 0.148223 * r - 0.290993 * g + 0.439216 * bl
+    v_ref = 128.0 + 0.439216 * r - 0.367788 * g - 0.071427 * bl
     uv_ref = np.stack([u_ref, v_ref], 2).reshape(
         b, t, 2, h // 2, 2, w // 2, 2).mean(axis=(4, 6))
     assert np.abs(luma.astype(np.float32) - y_ref).max() <= 1.0
     assert np.abs(uv.astype(np.float32) - uv_ref).max() <= 1.0
     # luma also near-exact vs the uint8 RGB path
     ef = exact.astype(np.float32)
-    y_u8 = 0.299 * ef[..., 0] + 0.587 * ef[..., 1] + 0.114 * ef[..., 2]
+    y_u8 = (16.0 + 0.256788 * ef[..., 0] + 0.504129 * ef[..., 1]
+            + 0.097906 * ef[..., 2])
     assert np.abs(luma.astype(np.float32) - y_u8).max() <= 1.5
