@@ -170,6 +170,41 @@ def save_video(video: np.ndarray, path: str, fps: int = 16):
         return alt
 
 
+def save_video_yuv420(luma: np.ndarray, uv: np.ndarray, path: str,
+                      fps: int = 16):
+    """Write a video straight from the streamed decoder's YUV 4:2:0
+    fetch (`vae_decode_streamed_yuv420`: Y [B,T,H,W], UV planar
+    [B,T,2,H/2,W/2], limited-range BT.601) with a SINGLE I420->BGR
+    conversion per frame — skipping the YUV->RGB->BGR double pass the
+    RGB route pays. Falls back to `save_video` via `yuv420_to_rgb`."""
+    luma = np.asarray(luma)
+    uv = np.asarray(uv)
+    if luma.ndim == 4:
+        luma, uv = luma[0], uv[0]
+    t, h, w = luma.shape
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import cv2
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        if not writer.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
+        buf = np.empty((h + h // 2, w), np.uint8)
+        half = uv.reshape(t, 2, -1)
+        for i in range(t):
+            buf[:h] = luma[i]
+            buf[h:h + h // 4] = half[i, 0].reshape(h // 4, w)
+            buf[h + h // 4:] = half[i, 1].reshape(h // 4, w)
+            writer.write(cv2.cvtColor(buf, cv2.COLOR_YUV2BGR_I420))
+        writer.release()
+        return path
+    except Exception:
+        from flexam_tpu.models.vae_stream import yuv420_to_rgb
+        rgb = yuv420_to_rgb(luma[None], uv[None])[0]      # [T,H,W,3] u8
+        return save_video(rgb.transpose(3, 0, 1, 2).astype(np.float32)
+                          / 255.0, path, fps=fps)
+
+
 def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 6,
                      fps: int = 12, rescale: bool = False):
     """`save_videos_grid` (:59-88): [B, C, T, H, W] -> tiled grid video."""

@@ -316,3 +316,32 @@ def test_release_t5_sequential_memory_mode(pipe):
         assert np.isfinite(np.asarray(lat)).all()
     finally:
         pipe.models.t5_params = saved   # module-scoped fixture
+
+
+def test_decode_fetch_yuv420_env(pipe, monkeypatch):
+    """FLEXAM_DECODE_FETCH=yuv420 routes the streamed decode through the
+    device YUV 4:2:0 fetch + host reassembly; output stays within
+    chroma-subsampling distance of the exact u8 path."""
+    monkeypatch.setattr(pipe, "VAE_STREAM_THRESHOLD", 1000)
+    lat = jax.random.normal(jax.random.PRNGKey(7),
+                            (1, pipe.cfg.vae.latent_channels, 3, 2, 2),
+                            jnp.float32) * 0.5
+    exact = pipe._decode_u8_host(lat)
+    monkeypatch.setenv("FLEXAM_DECODE_FETCH", "yuv420")
+    got = pipe._decode_u8_host(lat)
+    assert got.shape == exact.shape and got.dtype == np.uint8
+    # luma parity (limited-range BT.601); chroma is subsampled
+    ef, gf = exact.astype(np.float32), got.astype(np.float32)
+    y = lambda a: (16.0 + 0.256788 * a[..., 0] + 0.504129 * a[..., 1]
+                   + 0.097906 * a[..., 2])
+    assert np.abs(y(gf) - y(ef)).mean() < 3.0
+
+
+def test_save_video_yuv420(tmp_path):
+    from flexam_tpu.utils.media import save_video_yuv420
+    rng = np.random.RandomState(0)
+    luma = rng.randint(16, 235, (1, 5, 32, 64)).astype(np.uint8)
+    uv = rng.randint(16, 240, (1, 5, 2, 16, 32)).astype(np.uint8)
+    out = save_video_yuv420(luma, uv, str(tmp_path / "v.mp4"), fps=8)
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 0
