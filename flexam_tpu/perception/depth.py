@@ -82,11 +82,22 @@ def _depthcrafter_lazy(video: np.ndarray, **kw) -> np.ndarray:
     return _depthcrafter_backend(video, **kw)
 
 
+def _dav2_lazy(video: np.ndarray, **kw) -> np.ndarray:
+    """Depth-Anything-V2-Large — the reference repaint's DEFAULT depth
+    model ("dav", `pipelines.py:158-161`) and the `VideoToDepth`
+    annotator family; native port in
+    flexam_tpu.perception.depth_anything. Weights: FLEXAM_DAV2_CKPT."""
+    from flexam_tpu.perception.depth_anything import _dav2_backend
+    return _dav2_backend(video, **kw)
+
+
 register_depth_backend("luminance", _luminance_depth)
 register_depth_backend("onnx", _onnx_depth)
 register_depth_backend("unidepth", _unidepth_lazy)
 register_depth_backend("zoe", _zoe_lazy)
 register_depth_backend("depthcrafter", _depthcrafter_lazy)
+register_depth_backend("dav2", _dav2_lazy)
+register_depth_backend("dav", _dav2_lazy)      # the reference's name
 
 
 def estimate_depth(video: np.ndarray, backend: str = None, **kw
@@ -103,8 +114,11 @@ def estimate_depth(video: np.ndarray, backend: str = None, **kw
         # (the VideoToDepth annotator's model)
         uni = os.environ.get("FLEXAM_UNIDEPTH_CKPT")
         zoe = os.environ.get("FLEXAM_ZOE_CKPT")
+        dav = os.environ.get("FLEXAM_DAV2_CKPT")
         if uni and os.path.exists(uni):
             backend = "unidepth"
+        elif dav and os.path.exists(dav):
+            backend = "dav2"
         elif zoe and os.path.exists(zoe):
             backend = "zoe"
         else:
