@@ -139,3 +139,32 @@ def test_loader_full_coverage(params, tmp_path):
 def test_registry_backend_registered():
     from flexam_tpu.perception.depth import DEPTH_BACKENDS
     assert "dav2" in DEPTH_BACKENDS and "dav" in DEPTH_BACKENDS
+
+
+def test_dav2_learns_depth_cue():
+    """Trainability (the no-oracle evidence tier used for DELTA/MoGe):
+    a tiny DAv2 fits a synthetic depth cue (vertical position) in a few
+    adam steps — gradients flow end-to-end through encoder + DPT head."""
+    import optax
+
+    cfg = tiny_dav2_config()
+    params = dav2_init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 56, 42, 3).astype(np.float32))
+    target = jnp.broadcast_to(
+        jnp.linspace(0.2, 2.0, 56)[None, :, None], (4, 56, 42))
+
+    def loss_fn(p):
+        d = dav2_forward(p, x, cfg)
+        return jnp.mean((d - target) ** 2)
+
+    opt = optax.adam(3e-3)
+    state = opt.init(params)
+    loss0 = float(loss_fn(params))
+    step = jax.jit(lambda p, s: (lambda g: opt.update(g, s, p))(
+        jax.grad(loss_fn)(p)))
+    for _ in range(30):
+        upd, state = step(params, state)
+        params = optax.apply_updates(params, upd)
+    loss1 = float(loss_fn(params))
+    assert np.isfinite(loss1) and loss1 < 0.5 * loss0, (loss0, loss1)
