@@ -226,12 +226,18 @@ def _conv(x, p, stride=1, pad="SAME"):
 
 
 def _conv_t(x, p, stride):
-    """ConvTranspose2d kernel=stride (the DPT resize convs)."""
+    """ConvTranspose2d kernel=stride (the DPT resize convs), torch-exact:
+    each input pixel paints an UNFLIPPED k x k block,
+    y[b, h*k+dh, w*k+dw, o] = sum_i x[b,h,w,i] * W[i,o,dh,dw]
+    with the torch convT weight layout [I, O, kh, kw].
+    (jax.lax.conv_transpose(transpose_kernel=False) spatially flips the
+    kernel relative to torch — caught by the transformers DepthAnything
+    oracle, tests/test_dav2_oracle.py, which exercises this helper.)"""
     kw = p["weight"]                         # torch convT: [I, O, kh, kw]
-    y = jax.lax.conv_transpose(
-        x, kw.transpose(2, 3, 0, 1).astype(x.dtype),
-        strides=(stride, stride), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, h, w, _ = x.shape
+    k = kw.shape[-1]
+    y = jnp.einsum("bhwi,iode->bhdweo", x, kw.astype(x.dtype))
+    y = y.reshape(b, h * k, w * k, kw.shape[1])
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -259,3 +259,27 @@ def test_infer_surface(tiny):
 def test_depth_backend_registered():
     from flexam_tpu.perception.depth import DEPTH_BACKENDS
     assert "zoe" in DEPTH_BACKENDS
+
+
+def test_conv_t_matches_torch_convtranspose():
+    """_conv_t == torch ConvTranspose2d for the DPT kernel==stride case
+    (regression: jax conv_transpose flips the kernel relative to torch;
+    caught by the transformers DepthAnything oracle)."""
+    import torch
+
+    from flexam_tpu.perception.zoedepth import _conv_t
+    rng = np.random.RandomState(0)
+    for k in (2, 4):
+        w = rng.randn(5, 7, k, k).astype(np.float32)
+        b = rng.randn(7).astype(np.float32)
+        x = rng.randn(2, 5, 6, 4).astype(np.float32)   # NCHW
+        m = torch.nn.ConvTranspose2d(5, 7, k, stride=k)
+        with torch.no_grad():
+            m.weight.copy_(torch.from_numpy(w))
+            m.bias.copy_(torch.from_numpy(b))
+            ref = m(torch.from_numpy(x)).numpy()
+        got = np.asarray(_conv_t(
+            jnp.asarray(x.transpose(0, 2, 3, 1)),   # -> NHWC
+            {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}, k)
+        ).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
