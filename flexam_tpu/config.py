@@ -93,6 +93,7 @@ class T5Config:
     num_heads: int = 64
     num_layers: int = 24
     num_buckets: int = 32
+    max_distance: int = 128
     shared_pos: bool = False
     dropout: float = 0.0
     text_length: int = 512

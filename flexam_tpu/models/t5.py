@@ -115,11 +115,18 @@ def t5_encode(params: dict, cfg: T5Config, input_ids: jnp.ndarray,
         params["compute_dtype"] if "compute_dtype" in params
         else jnp.float32)
     buckets = jnp.asarray(
-        relative_position_buckets(l, l, cfg.num_buckets), jnp.int32)
+        relative_position_buckets(l, l, cfg.num_buckets,
+                                  max_dist=cfg.max_distance), jnp.int32)
+    # shared_pos (T5 v1.1 / FLUX's T5-XXL): one bias table owned by
+    # block 0, reused by every layer; umT5 (shared_pos=False) keeps a
+    # per-layer table inside the scanned params.
+    shared_bias = (_pos_bias(params["shared_pos_embedding"], buckets)
+                   if cfg.shared_pos else None)
 
     def body(carry, bp):
         h = carry
-        bias = _pos_bias(bp["pos_embedding"], buckets)
+        bias = (shared_bias if shared_bias is not None
+                else _pos_bias(bp["pos_embedding"], buckets))
         h = h + _t5_attention(bp["attn"], t5_layer_norm(h, bp["norm1"]),
                               attention_mask, bias, cfg.num_heads)
         h = h + _t5_ffn(bp["ffn"], t5_layer_norm(h, bp["norm2"]))
@@ -144,7 +151,7 @@ def init_t5_params(key, cfg: T5Config, dtype=jnp.float32) -> dict:
 
     def block(k):
         ks = jax.random.split(k, 8)
-        return {
+        p = {
             "norm1": jnp.ones((d,), dtype),
             "attn": {
                 "q": n(ks[0], (da, d), (d * da) ** -0.5),
@@ -158,18 +165,24 @@ def init_t5_params(key, cfg: T5Config, dtype=jnp.float32) -> dict:
                 "fc1": n(ks[5], (df, d), d ** -0.5),
                 "fc2": n(ks[6], (d, df), df ** -0.5),
             },
-            "pos_embedding": n(ks[7], (cfg.num_buckets, h),
-                               (2 * cfg.num_buckets * h) ** -0.5),
         }
+        if not cfg.shared_pos:
+            p["pos_embedding"] = n(ks[7], (cfg.num_buckets, h),
+                                   (2 * cfg.num_buckets * h) ** -0.5)
+        return p
 
     bkeys = jax.random.split(keys[0], cfg.num_layers)
     blocks = [block(k) for k in bkeys]
-    return {
+    params = {
         "token_embedding": n(keys[1], (cfg.vocab, d), 1.0),
         "blocks": jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs, 0), *blocks),
         "norm": jnp.ones((d,), dtype),
     }
+    if cfg.shared_pos:
+        params["shared_pos_embedding"] = n(
+            keys[2], (cfg.num_buckets, h), (2 * cfg.num_buckets * h) ** -0.5)
+    return params
 
 
 def t5_params_from_state_dict(sd, cfg: T5Config, dtype=np.float32) -> dict:
@@ -202,3 +215,46 @@ def t5_params_from_state_dict(sd, cfg: T5Config, dtype=np.float32) -> dict:
             lambda *xs: np.stack(xs, 0), *blocks),
         "norm": g("norm.weight"),
     }
+
+
+def t5_params_from_hf_state_dict(sd, cfg: T5Config,
+                                 dtype=np.float32) -> dict:
+    """Map a HuggingFace `T5EncoderModel` state_dict (the layout FLUX's
+    T5-XXL v1.1 text encoder ships in: `encoder.block.N.layer.0.
+    SelfAttention.q.weight`, gated `DenseGatedActDense`) to the
+    scan-stacked pytree. Requires cfg.shared_pos=True (v1.1 keeps one
+    relative-attention-bias table on block 0)."""
+    def g(key):
+        k = key if key in sd else f"encoder.{key}"
+        return np.asarray(sd[k], dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"block.{i}.layer"
+        blocks.append({
+            "norm1": g(f"{p}.0.layer_norm.weight"),
+            "attn": {
+                "q": g(f"{p}.0.SelfAttention.q.weight"),
+                "k": g(f"{p}.0.SelfAttention.k.weight"),
+                "v": g(f"{p}.0.SelfAttention.v.weight"),
+                "o": g(f"{p}.0.SelfAttention.o.weight"),
+            },
+            "norm2": g(f"{p}.1.layer_norm.weight"),
+            "ffn": {
+                "gate": g(f"{p}.1.DenseReluDense.wi_0.weight"),
+                "fc1": g(f"{p}.1.DenseReluDense.wi_1.weight"),
+                "fc2": g(f"{p}.1.DenseReluDense.wo.weight"),
+            },
+        })
+    params = {
+        "token_embedding": (np.asarray(sd["shared.weight"], dtype)
+                            if "shared.weight" in sd
+                            else g("embed_tokens.weight")),
+        "blocks": jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, 0), *blocks),
+        "norm": g("final_layer_norm.weight"),
+    }
+    if cfg.shared_pos:
+        params["shared_pos_embedding"] = g(
+            "block.0.layer.0.SelfAttention.relative_attention_bias.weight")
+    return params
