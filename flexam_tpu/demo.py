@@ -341,14 +341,24 @@ def main(argv=None):
         from flexam_tpu.perception.depth import estimate_depth
         from flexam_tpu.repaint import (FirstFrameRepainter,
                                         make_flexam_repaint_fn)
-        print("NOTE: --repaint true -> native depth-conditioned "
-              "single-frame generation (the reference uses external "
-              "FLUX.1-Depth here)")
+        if os.environ.get("FLEXAM_FLUX_CKPT"):
+            # the reference's actual backend (`pipelines.py:137-173`):
+            # native FLUX.1-Depth port, weights from FLEXAM_FLUX_* files
+            from flexam_tpu.repaint_flux import load_flux_repainter
+            print("NOTE: --repaint true -> native FLUX.1-Depth port "
+                  "(FLEXAM_FLUX_CKPT)")
+            repaint_fn = load_flux_repainter().as_repaint_fn(args.seed)
+        else:
+            print("NOTE: --repaint true -> native depth-conditioned "
+                  "single-frame generation (the reference uses external "
+                  "FLUX.1-Depth here; set FLEXAM_FLUX_CKPT/FLEXAM_FLUX_AE "
+                  "to run the native FLUX port instead)")
+            repaint_fn = make_flexam_repaint_fn(pipe, seed=args.seed)
         rp = FirstFrameRepainter(
             h, w, args.output_dir,
             depth_fn=lambda img: estimate_depth(
                 (np.asarray(img, np.float32) / 255.0)[None])[0],
-            repaint_fn=make_flexam_repaint_fn(pipe, seed=args.seed))
+            repaint_fn=repaint_fn)
         repaint = rp.repaint(np.asarray(input_video)[0, :, 0], args.prompt,
                              num_inference_steps=args.num_inference_steps)
 

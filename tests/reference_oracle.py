@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import enum
 import functools
+import importlib.machinery
 import importlib.util
 import inspect
 import sys
@@ -20,13 +21,24 @@ import types
 REFERENCE_ROOT = "/root/reference"
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub with a real ModuleSpec: `importlib.util.find_spec` raises
+    `ValueError: <mod>.__spec__ is None` for bare ModuleType entries in
+    sys.modules — transformers probes torchvision availability that way,
+    so a spec-less stub broke every LATER transformers-based oracle in
+    the same process (dav2/zoe ERRORs in full-suite runs)."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _install_diffusers_stub():
     if "diffusers" in sys.modules:
         return
     import torch.nn as nn
 
     def _mk(name):
-        m = types.ModuleType(name)
+        m = _stub_module(name)
         sys.modules[name] = m
         return m
 
@@ -135,7 +147,7 @@ def load_reference_pipelines():
     def _mk(name):
         if name in sys.modules:
             return sys.modules[name]
-        m = types.ModuleType(name)
+        m = _stub_module(name)
         sys.modules[name] = m
         return m
 
@@ -210,8 +222,8 @@ def load_reference_dit():
     _install_diffusers_stub()
 
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv_tf = types.ModuleType("torchvision.transforms")
+        tv = _stub_module("torchvision")
+        tv_tf = _stub_module("torchvision.transforms")
 
         class _Normalize:
             def __init__(self, mean=None, std=None):
@@ -250,10 +262,10 @@ def load_reference_dit():
         utils_diff.logging = _Logging()
 
     if "FlexAM" not in sys.modules:
-        pkg = types.ModuleType("FlexAM")
+        pkg = _stub_module("FlexAM")
         pkg.__path__ = []
         sys.modules["FlexAM"] = pkg
-        dist = types.ModuleType("FlexAM.dist")
+        dist = _stub_module("FlexAM.dist")
         for fname in ("get_sequence_parallel_rank",
                       "get_sequence_parallel_world_size", "get_sp_group",
                       "usp_attn_forward", "xFuserLongContextAttention"):
@@ -262,11 +274,11 @@ def load_reference_dit():
 
         cfg_opt = load_reference_module("FlexAM/utils/cfg_optimization.py",
                                         "FlexAM_cfg_optimization")
-        utils_pkg = types.ModuleType("FlexAM.utils")
+        utils_pkg = _stub_module("FlexAM.utils")
         utils_pkg.cfg_skip = cfg_opt.cfg_skip
         sys.modules["FlexAM.utils"] = utils_pkg
 
-        models_pkg = types.ModuleType("FlexAM.models")
+        models_pkg = _stub_module("FlexAM.models")
         models_pkg.__path__ = []
         sys.modules["FlexAM.models"] = models_pkg
         for mod in ("attention_utils", "cache_utils", "wan_camera_adapter"):
