@@ -670,6 +670,9 @@ class FlexAMGenerationPipeline:
         teacache_coefficients=None,            # 5-tuple; None = WAN22 table
         resume: Optional[dict] = None,         # from a previous checkpoint_cb
         checkpoint_cb=None,                    # cb(step:int, snapshot:dict)
+        progress_cb=None,                      # cb(done:int, total:int) per
+                                               # chunk DISPATCH (no fetch);
+                                               # raise to abort the run
     ) -> jnp.ndarray:
         """The 50-step CFG loop as scan(s) inside jit."""
         scfg = self.cfg.scheduler
@@ -777,6 +780,8 @@ class FlexAMGenerationPipeline:
                     float(teacache_thresh), int(teacache_skip_start),
                     attn_fn)
                 c0 += length
+                if progress_cb is not None:
+                    progress_cb(min(c0, n), n)
                 if checkpoint_cb is not None:
                     checkpoint_cb(c0 - 1, {
                         "step": c0 - 1,
@@ -956,7 +961,7 @@ class FlexAMGenerationPipeline:
                  teacache_thresh=0.0, teacache_skip_start=5,
                  teacache_coefficients=None,
                  offload_dit_for_decode: Optional[bool] = None,
-                 output_type="np") -> np.ndarray:
+                 output_type="np", progress_cb=None) -> np.ndarray:
         """demo-equivalent end-to-end call. video in [0,1], [1,3,T,H,W].
 
         `offload_dit_for_decode` (default: auto — on for workloads that
@@ -975,7 +980,7 @@ class FlexAMGenerationPipeline:
             teacache_skip_start=teacache_skip_start,
             teacache_coefficients=teacache_coefficients,
             offload_dit_for_decode=offload_dit_for_decode,
-            output_type=output_type)
+            output_type=output_type, progress_cb=progress_cb)
 
     def generate_from_cond(self, cond, context, num_inference_steps=50,
                            guidance_scale=6.0, seed=1245644, density=None,
@@ -983,7 +988,7 @@ class FlexAMGenerationPipeline:
                            teacache_thresh=0.0, teacache_skip_start=5,
                            teacache_coefficients=None,
                            offload_dit_for_decode: Optional[bool] = None,
-                           output_type="np") -> np.ndarray:
+                           output_type="np", progress_cb=None) -> np.ndarray:
         """Denoise + decode from a prepared conditioning dict (shared by
         the host-video and device-rasterized prepare paths)."""
         latents = self.denoise(cond, context,
@@ -994,7 +999,8 @@ class FlexAMGenerationPipeline:
                                cfg_skip_ratio=cfg_skip_ratio,
                                teacache_thresh=teacache_thresh,
                                teacache_skip_start=teacache_skip_start,
-                               teacache_coefficients=teacache_coefficients)
+                               teacache_coefficients=teacache_coefficients,
+                               progress_cb=progress_cb)
         if output_type == "latent":
             return np.asarray(latents)
         if offload_dit_for_decode is None:

@@ -34,11 +34,121 @@ def _encode_array(arr) -> dict:
     return {"data": base64.b64encode(buf.getvalue()).decode()}
 
 
+class JobCancelled(Exception):
+    """Raised from a progress callback to abort a running generation
+    between denoise chunk launches."""
+
+
+class JobManager:
+    """Async job queue over one resident model (the production serving
+    shape: requests return immediately, the chip runs one job at a time).
+
+    States: queued -> running -> done | error | cancelled. Progress comes
+    from the pipeline's chunk-dispatch callback (no device fetch).
+    Results are kept for the most recent `keep` jobs.
+    """
+
+    def __init__(self, server: "GenerationServer", keep: int = 8):
+        import collections
+        import uuid
+
+        self._uuid = uuid.uuid4
+        self.server = server
+        self.keep = keep
+        self.jobs: dict = {}
+        self.queue: "collections.deque" = collections.deque()
+        self.cv = threading.Condition()
+        self._order: list = []
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    def submit(self, payload: dict) -> str:
+        jid = self._uuid().hex[:12]
+        with self.cv:
+            self.jobs[jid] = {"state": "queued", "progress": None,
+                              "error": None, "result": None}
+            self.queue.append((jid, payload))
+            self._order.append(jid)
+            # evict old finished jobs
+            while len(self._order) > self.keep:
+                old = self._order[0]
+                if self.jobs.get(old, {}).get("state") in (
+                        "done", "error", "cancelled"):
+                    self._order.pop(0)
+                    self.jobs.pop(old, None)
+                else:
+                    break
+            self.cv.notify()
+        return jid
+
+    def status(self, jid: str) -> dict:
+        with self.cv:
+            job = self.jobs.get(jid)
+            if job is None:
+                return {"error": "unknown job"}
+            pos = next((i for i, (q, _) in enumerate(self.queue)
+                        if q == jid), None)
+            return {"state": job["state"], "progress": job["progress"],
+                    "queue_position": pos, "error": job["error"]}
+
+    def result(self, jid: str) -> dict:
+        with self.cv:
+            job = self.jobs.get(jid)
+        if job is None:
+            return {"error": "unknown job"}
+        if job["state"] != "done":
+            return {"error": f"job is {job['state']}"}
+        return job["result"]
+
+    def cancel(self, jid: str) -> dict:
+        with self.cv:
+            job = self.jobs.get(jid)
+            if job is None:
+                return {"error": "unknown job"}
+            if job["state"] == "queued":
+                self.queue = type(self.queue)(
+                    (q, p) for q, p in self.queue if q != jid)
+                job["state"] = "cancelled"
+            elif job["state"] == "running":
+                job["cancel"] = True   # honored at the next chunk boundary
+            return {"state": job["state"]}
+
+    def _run(self):
+        while True:
+            with self.cv:
+                while not self.queue:
+                    self.cv.wait()
+                jid, payload = self.queue.popleft()
+                job = self.jobs[jid]
+                if job["state"] == "cancelled":
+                    continue
+                job["state"] = "running"
+
+            def progress(done, total, _job=job):
+                _job["progress"] = {"step": int(done), "total": int(total)}
+                if _job.get("cancel"):
+                    raise JobCancelled()
+
+            try:
+                if payload.pop("ui", False):
+                    result = self.server.handle_ui_payload(
+                        payload, progress_cb=progress)
+                else:
+                    result = self.server.handle(payload,
+                                                progress_cb=progress)
+                job["result"], job["state"] = result, "done"
+            except JobCancelled:
+                job["state"] = "cancelled"
+            except Exception as e:  # noqa: BLE001 — error containment
+                job["error"], job["state"] = str(e), "error"
+
+
 class GenerationServer:
     def __init__(self, pipeline, fps: int = 16):
         self.pipe = pipeline
         self.fps = fps
         self.lock = threading.Lock()
+        self.jobs = JobManager(self)
 
     # full Gradio-equivalent parameter surface
     # (`ui/wan2_2_fun_ui.py:178-399`): sampler knobs, TeaCache, cfg-skip,
@@ -49,7 +159,7 @@ class GenerationServer:
                    "teacache_thresh", "teacache_skip_start",
                    "negative_prompt")
 
-    def handle(self, payload: dict) -> dict:
+    def handle(self, payload: dict, progress_cb=None) -> dict:
         kwargs = {}
         for key in ("video", "mask_video", "control_video", "depth_video",
                     "ref_image"):
@@ -77,11 +187,13 @@ class GenerationServer:
                     L_test=int(payload.get("riflex_L_test", lat_frames)))
             try:
                 if "tracks" in payload or "track_method" in payload:
-                    out = self._generate_from_tracks(payload, kwargs)
+                    out = self._generate_from_tracks(payload, kwargs,
+                                                     progress_cb)
                 elif "partial_video_length" in payload:
                     out = self._generate_long(payload, kwargs)
                 else:
                     out = self.pipe.generate(prompt=payload["prompt"],
+                                             progress_cb=progress_cb,
                                              **kwargs)
             finally:
                 if riflex_k:
@@ -89,7 +201,7 @@ class GenerationServer:
         return {"video": _encode_array(
             (np.asarray(out) * 255).astype(np.uint8)), "fps": self.fps}
 
-    def _generate_from_tracks(self, payload, kwargs):
+    def _generate_from_tracks(self, payload, kwargs, progress_cb=None):
         """Tracks cross the wire (KBs) instead of rasterized videos:
         the device-side rasterizer builds conditioning on-chip. With
         `track_method` ("flow"/"delta"/"auto") and no precomputed tracks,
@@ -140,7 +252,9 @@ class GenerationServer:
         context = self.pipe.encode_prompt(
             payload["prompt"], neg,
             do_cfg=gen_kwargs.get("guidance_scale", 6.0) > 1.0)
-        return self.pipe.generate_from_cond(cond, context, **gen_kwargs)
+        return self.pipe.generate_from_cond(cond, context,
+                                            progress_cb=progress_cb,
+                                            **gen_kwargs)
 
     def _generate_long(self, payload, kwargs):
         """Sliding-window long video (`ui/controller.py:324-325`,
@@ -181,6 +295,33 @@ class GenerationServer:
             temporal_compression=self.pipe.cfg.vae
             .temporal_compression_ratio)
 
+    def health(self) -> dict:
+        """Production liveness/observability: platform + link probe +
+        queue depth + last denoise diagnostics (the metrics JSON the
+        pipeline keeps)."""
+        import jax
+        info = {
+            "ok": True,
+            "backend": jax.default_backend(),
+            "n_devices": jax.device_count(),
+            "queue_depth": len(self.jobs.queue),
+            "busy": self.lock.locked(),
+        }
+        try:
+            probe = getattr(self.pipe, "last_link_probe", None)
+            if probe:
+                info["link"] = {k: probe[k] for k in
+                                ("rtt_ms_median", "healthy") if k in probe}
+        except Exception:   # noqa: BLE001
+            pass
+        last = getattr(self.pipe, "last_denoise_info", None)
+        if last:
+            info["last_denoise"] = last
+        cfg = getattr(self.pipe, "cfg", None)
+        if cfg is not None:
+            info["model"] = {"dim": cfg.dit.dim, "layers": cfg.dit.num_layers}
+        return info
+
     # minimal built-in web UI (the reference's Gradio layer is broken in
     # its release — imports the absent FlexAM/dist; this one runs):
     # generation form -> POST /generate -> inline video.
@@ -210,20 +351,33 @@ video{width:100%;margin-top:1em}button{margin-top:1em;padding:.5em 2em}
 <script>
 f.onsubmit = async (e) => {
   e.preventDefault();
-  const p = {}; new FormData(f).forEach((v, k) => { if (v !== "") p[k] =
-    isNaN(v) ? v : Number(v); });
-  status.textContent = "generating...";
-  const r = await fetch("/generate", {method: "POST",
+  const p = {ui: true}; new FormData(f).forEach((v, k) => { if (v !== "")
+    p[k] = isNaN(v) ? v : Number(v); });
+  status.textContent = "submitting...";
+  const sub = await (await fetch("/submit", {method: "POST",
     headers: {"Content-Type": "application/json"},
-    body: JSON.stringify(p)});
-  const out = await r.json();
+    body: JSON.stringify(p)})).json();
+  if (sub.error) { status.textContent = "error: " + sub.error; return; }
+  for (;;) {
+    const st = await (await fetch("/status/" + sub.job_id)).json();
+    if (st.state === "done") break;
+    if (st.state === "error" || st.state === "cancelled") {
+      status.textContent = st.state + (st.error ? ": " + st.error : "");
+      return;
+    }
+    status.textContent = st.state + (st.progress ?
+      ` step ${st.progress.step}/${st.progress.total}` :
+      (st.queue_position != null ? ` (queue ${st.queue_position})` : ""));
+    await new Promise(r => setTimeout(r, 1000));
+  }
+  const out = await (await fetch("/result/" + sub.job_id)).json();
   if (out.error) { status.textContent = "error: " + out.error; return; }
   status.textContent = "done (" + out.fps + " fps)";
   v.src = "data:video/mp4;base64," + out.mp4;
 };
 </script></body></html>"""
 
-    def handle_ui_payload(self, payload: dict) -> dict:
+    def handle_ui_payload(self, payload: dict, progress_cb=None) -> dict:
         """Form request: no input video -> first-frame-less txt2video-ish
         run over zeros video (all-generate mask); returns a playable mp4."""
         t = int(payload.pop("video_length", 49))
@@ -231,7 +385,7 @@ f.onsubmit = async (e) => {
         w = int(payload.pop("width", 896))
         payload.setdefault("video", _encode_array(
             np.zeros((1, 3, t, h, w), np.float32)))
-        out = self.handle(payload)
+        out = self.handle(payload, progress_cb=progress_cb)
         video = _decode_array(out["video"]).astype(np.float32) / 255.0
         import tempfile
 
@@ -247,7 +401,25 @@ f.onsubmit = async (e) => {
         server_ref = self
 
         class Handler(BaseHTTPRequestHandler):
+            def _json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
+                if self.path.startswith("/status/"):
+                    return self._json(server_ref.jobs.status(
+                        self.path.rsplit("/", 1)[1]))
+                if self.path.startswith("/result/"):
+                    out = server_ref.jobs.result(
+                        self.path.rsplit("/", 1)[1])
+                    return self._json(out, 200 if "error" not in out
+                                      else 409)
+                if self.path == "/health":
+                    return self._json(server_ref.health())
                 body = server_ref.UI_HTML.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
@@ -258,7 +430,14 @@ f.onsubmit = async (e) => {
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 try:
+                    if self.path.startswith("/cancel/"):
+                        return self._json(server_ref.jobs.cancel(
+                            self.path.rsplit("/", 1)[1]))
                     payload = json.loads(self.rfile.read(n))
+                    if self.path == "/submit":
+                        # async job API: returns immediately
+                        return self._json(
+                            {"job_id": server_ref.jobs.submit(payload)})
                     media = any(k in payload for k in
                                 ("video", "control_video", "tracks",
                                  "first_frame", "track_method"))

@@ -135,7 +135,9 @@ def test_serve_ui_form_request():
 
 def test_serve_ui_html_served():
     from flexam_tpu.serve import GenerationServer
-    assert "/generate" in GenerationServer.UI_HTML
+    # the UI now drives the async job API (submit + poll)
+    assert "/submit" in GenerationServer.UI_HTML
+    assert "/status/" in GenerationServer.UI_HTML
     assert "Prompt" in GenerationServer.UI_HTML
 
 
