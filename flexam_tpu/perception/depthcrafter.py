@@ -140,5 +140,16 @@ def predict_depthcrafter(
 
 
 def _depthcrafter_backend(video: np.ndarray, **kw) -> np.ndarray:
-    """Registry adapter: video [T,H,W,3] float 0..1 -> depth [T,H,W]."""
+    """Registry adapter: video [T,H,W,3] float 0..1 -> depth [T,H,W].
+
+    With FLEXAM_DEPTHCRAFTER_CKPT + FLEXAM_SVD_VAE set, the denoiser is
+    the NATIVE SVD spatio-temporal UNet diffusion loop
+    (`perception/depthcrafter_model.py`); otherwise the documented
+    depth-stack substitute."""
+    import os
+    if (kw.get("denoiser") is None
+            and os.environ.get("FLEXAM_DEPTHCRAFTER_CKPT")):
+        from flexam_tpu.perception.depthcrafter_model import (
+            load_depthcrafter_denoiser)
+        kw["denoiser"] = load_depthcrafter_denoiser()
     return predict_depthcrafter(video, **kw)

@@ -1,0 +1,195 @@
+"""Native DepthCrafter denoiser: the SVD spatio-temporal UNet driving
+video-depth diffusion behind `perception/depthcrafter.py`'s injectable
+seam.
+
+The reference's DepthCrafter branch (`pipelines.py:1307-1360`, disabled
+at `:1407`) calls an external pipe built on the published architecture:
+frames -> VAE-encoded conditioning latents (channel-concat each step)
++ per-frame CLIP image embeddings + (fps, motion bucket, noise aug)
+time ids -> EDM v-prediction Euler loop over Karras sigmas -> VAE
+decode -> 3-channel output the reference collapses to mono depth. This
+module assembles that flow from the native pieces:
+
+  * `models/svd_unet.py` — the UNet;
+  * `models/flux_vae.py` at the SD geometry (ch 128, mult (1,2,4,4),
+    z=4, scale 0.18215, shift 0) — the published encoder EXACTLY; the
+    decoder here is the spatial KL decoder, not the temporal-conv
+    decoder variant of the video release (documented simplification:
+    the reference's own postprocess collapses channels to mono and
+    min-max normalizes, so the temporal decoder's smoothing is the only
+    delta; swap in a temporal decoder via `decode_fn` if needed);
+  * image embeddings are injectable (`image_embed_fn`); the real CLIP
+    ViT-H checkpoint is external in the reference too. Without one, a
+    deterministic per-frame embedding keeps the conditioning path live.
+
+One jit per denoise step (params as jit arguments), host loop over the
+25 steps — the same ~60 s executable-watchdog discipline as the main
+pipeline's chunked scan.
+
+Weights: FLEXAM_DEPTHCRAFTER_CKPT (UNet, published naming) +
+FLEXAM_SVD_VAE (KL VAE), coverage-gated via io/verify_load.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexam_tpu.io.verify_load import check_mapping
+from flexam_tpu.models.flux_vae import (FluxVAEConfig, flux_vae_decode,
+                                        flux_vae_encode,
+                                        flux_vae_params_from_state_dict,
+                                        init_flux_vae_params)
+from flexam_tpu.models.svd_unet import (SVDUNetConfig, euler_v_step,
+                                        init_svd_unet_params,
+                                        karras_sigmas, svd_unet_forward,
+                                        svd_unet_params_from_state_dict)
+
+SD_VAE_CONFIG = FluxVAEConfig(ch=128, ch_mult=(1, 2, 4, 4),
+                              num_res_blocks=2, z_channels=4,
+                              scale_factor=0.18215, shift_factor=0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _denoise_step(params, cfg: SVDUNetConfig, sample, cond_latents,
+                  ctx, ctx_uncond, ids, sigma, sigma_next, guidance):
+    """One CFG v-prediction Euler step. sample: [1, T, h, w, 4]."""
+    scaled = sample / jnp.sqrt(sigma ** 2 + 1.0)
+    t_cont = 0.25 * jnp.log(sigma)[None]
+    x_in = jnp.concatenate([scaled, cond_latents], axis=-1)
+    v_c = svd_unet_forward(params, cfg, x_in, t_cont, ctx, ids)
+    x_un = jnp.concatenate(
+        [scaled, jnp.zeros_like(cond_latents)], axis=-1)
+    v_u = svd_unet_forward(params, cfg, x_un, t_cont, ctx_uncond, ids)
+    v = v_u + guidance * (v_c - v_u)
+    return euler_v_step(sample.astype(jnp.float32), v.astype(jnp.float32),
+                        sigma, sigma_next).astype(sample.dtype)
+
+
+class DepthCrafterDenoiser:
+    """`denoiser(frames [T, h, w, 3] in [0,1], guidance_scale,
+    num_inference_steps) -> [T, h, w, 3]` for
+    `perception.depthcrafter.predict_depthcrafter`."""
+
+    def __init__(self, unet_params: dict, vae_params: dict,
+                 cfg: SVDUNetConfig = SVDUNetConfig(),
+                 vae_cfg: FluxVAEConfig = SD_VAE_CONFIG,
+                 image_embed_fn: Optional[Callable] = None,
+                 decode_fn: Optional[Callable] = None,
+                 fps: float = 7.0, motion_bucket_id: float = 127.0,
+                 noise_aug_strength: float = 0.02,
+                 dtype=jnp.float32, seed: int = 42):
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype), unet_params)
+        self.vae_params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype), vae_params)
+        self.cfg, self.vae_cfg = cfg, vae_cfg
+        self.image_embed_fn = image_embed_fn
+        self.decode_fn = decode_fn
+        self.added_ids = np.array(
+            [[fps, motion_bucket_id, noise_aug_strength]], np.float32)
+        self.noise_aug = noise_aug_strength
+        self.dtype = dtype
+        self.seed = seed
+
+    def _embed_frames(self, frames: np.ndarray) -> jnp.ndarray:
+        """[T, h, w, 3] -> [1, T, 1, cross_dim] per-frame embeddings."""
+        t = frames.shape[0]
+        if self.image_embed_fn is not None:
+            e = np.asarray(self.image_embed_fn(frames), np.float32)
+            return jnp.asarray(e.reshape(1, t, 1, -1), self.dtype)
+        # deterministic projection of frame statistics: keeps the
+        # conditioning path live without the external CLIP checkpoint
+        d = self.cfg.cross_attention_dim
+        rng = np.random.default_rng(0)
+        proj = rng.standard_normal((48, d)).astype(np.float32) / 7.0
+        pooled = frames.reshape(t, -1, 3)
+        stats = np.concatenate([
+            pooled.mean(1), pooled.std(1),
+            np.percentile(pooled, np.linspace(5, 95, 14), axis=1
+                          ).transpose(1, 0, 2).reshape(t, -1),
+        ], axis=1).astype(np.float32)            # [T, 48]
+        return jnp.asarray((stats @ proj).reshape(1, t, 1, d), self.dtype)
+
+    def __call__(self, frames: np.ndarray, guidance_scale: float = 1.2,
+                 num_inference_steps: int = 25) -> np.ndarray:
+        frames = np.asarray(frames, np.float32)
+        t, h, w, _ = frames.shape
+        key = jax.random.PRNGKey(self.seed)
+        k_lat, k_aug = jax.random.split(key)
+
+        x = jnp.asarray(frames * 2.0 - 1.0, self.dtype)
+        cond_z = flux_vae_encode(self.vae_params, self.vae_cfg, x)
+        # the published conditioning uses UNSCALED posterior means with
+        # noise augmentation
+        cond_z = cond_z / self.vae_cfg.scale_factor
+        if self.noise_aug > 0:
+            cond_z = cond_z + self.noise_aug * jax.random.normal(
+                k_aug, cond_z.shape, cond_z.dtype)
+        cond_z = cond_z[None]                       # [1, T, h/8, w/8, 4]
+
+        ctx = self._embed_frames(frames)
+        ctx_un = jnp.zeros_like(ctx)
+        ids = jnp.asarray(self.added_ids)
+
+        sigmas = karras_sigmas(num_inference_steps)
+        sample = (jax.random.normal(
+            k_lat, cond_z.shape, jnp.float32) * float(
+                (sigmas[0] ** 2 + 1) ** 0.5)).astype(self.dtype)
+
+        for i in range(num_inference_steps):
+            sample = _denoise_step(
+                self.params, self.cfg, sample, cond_z, ctx, ctx_un, ids,
+                jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
+                jnp.float32(guidance_scale))
+
+        z = sample[0] * self.vae_cfg.scale_factor   # [T, h/8, w/8, 4]
+        if self.decode_fn is not None:
+            out = np.asarray(self.decode_fn(z))
+        else:
+            out = np.asarray(flux_vae_decode(
+                self.vae_params, self.vae_cfg, z).astype(jnp.float32))
+        return np.clip(out * 0.5 + 0.5, 0.0, 1.0)
+
+
+def load_depthcrafter_denoiser(
+        ckpt: Optional[str] = None, vae: Optional[str] = None,
+        cfg: SVDUNetConfig = SVDUNetConfig(),
+        vae_cfg: FluxVAEConfig = SD_VAE_CONFIG, dtype=jnp.bfloat16,
+        coverage_threshold: float = 0.95, **kw) -> DepthCrafterDenoiser:
+    """Coverage-gated load from FLEXAM_DEPTHCRAFTER_CKPT/FLEXAM_SVD_VAE."""
+    from flexam_tpu.io.checkpoints import _load_one
+
+    ckpt = ckpt or os.environ.get("FLEXAM_DEPTHCRAFTER_CKPT")
+    vae = vae or os.environ.get("FLEXAM_SVD_VAE")
+    if not ckpt or not vae:
+        raise FileNotFoundError(
+            "native DepthCrafter needs FLEXAM_DEPTHCRAFTER_CKPT (UNet) "
+            "and FLEXAM_SVD_VAE (KL VAE) checkpoint files")
+    unet, rep = svd_unet_params_from_state_dict(_load_one(ckpt), cfg)
+    check_mapping(rep, f"depthcrafter:{os.path.basename(ckpt)}",
+                  threshold=coverage_threshold, strict=True)
+    vae_p, vrep = flux_vae_params_from_state_dict(_load_one(vae), vae_cfg)
+    check_mapping(vrep, f"svd-vae:{os.path.basename(vae)}",
+                  threshold=coverage_threshold, strict=True)
+    return DepthCrafterDenoiser(unet, vae_p, cfg=cfg, vae_cfg=vae_cfg,
+                                dtype=dtype, **kw)
+
+
+def make_tiny_denoiser(seed: int = 0, dtype=jnp.float32,
+                       **kw) -> DepthCrafterDenoiser:
+    """Random-init tiny geometry (tests / smoke runs)."""
+    cfg = SVDUNetConfig.tiny()
+    vae_cfg = FluxVAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                            z_channels=4, scale_factor=0.18215,
+                            shift_factor=0.0)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return DepthCrafterDenoiser(
+        init_svd_unet_params(k1, cfg),
+        init_flux_vae_params(k2, vae_cfg),
+        cfg=cfg, vae_cfg=vae_cfg, dtype=dtype, **kw)

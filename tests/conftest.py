@@ -20,10 +20,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", _platform)
 
 # This box has ONE cpu core; XLA compiles dominate test time. Cache them.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# FLEXAM_TEST_CACHE=0 opts out — REQUIRED for any pytest/jax process run
+# concurrently with another: concurrent access to the persistent cache
+# segfaults this toolchain inside the cache read (observed twice
+# 2026-08-17, `compilation_cache.get_executable_and_time`).
+if os.environ.get("FLEXAM_TEST_CACHE", "1") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 jax.config.update("jax_threefry_partitionable", True)
 # This JAX build defaults to reduced matmul precision even on CPU; tests
