@@ -122,9 +122,11 @@ def _alpha_blend(p, spatial, temporal):
 # ---------------------------------------------------------------------------
 
 def _resnet2d(x, temb, p, groups):
-    """Spatial resnet over [N, H, W, C] with time-embedding shift."""
+    """Spatial resnet over [N, H, W, C]; time-embedding shift only when
+    the block has one (the temporal DECODER's resnets don't)."""
     h = _conv2d(silu(_gn(x, p["norm1"], groups)), p["conv1"])
-    h = h + _lin(silu(temb), p["time_emb_proj"])[:, None, None, :]
+    if temb is not None and "time_emb_proj" in p:
+        h = h + _lin(silu(temb), p["time_emb_proj"])[:, None, None, :]
     h = _conv2d(silu(_gn(h, p["norm2"], groups)), p["conv2"])
     if "conv_shortcut" in p:
         x = _conv2d(x, p["conv_shortcut"])
@@ -133,9 +135,9 @@ def _resnet2d(x, temb, p, groups):
 
 def _resnet_temporal(x, temb_t, p, groups):
     """Temporal resnet over [B, T, H, W, C] (3-tap conv along T);
-    temb_t: [B, T, D]."""
+    temb_t: [B, T, D] or None."""
     h = _conv_t(silu(_gn(x, p["norm1"], groups)), p["conv1"])
-    if "time_emb_proj" in p:
+    if temb_t is not None and "time_emb_proj" in p:
         h = h + _lin(silu(temb_t), p["time_emb_proj"])[:, :, None,
                                                        None, :]
     h = _conv_t(silu(_gn(h, p["norm2"], groups)), p["conv2"])
@@ -144,11 +146,12 @@ def _resnet_temporal(x, temb_t, p, groups):
 
 def _st_resblock(x, temb, p, cfg, b, t):
     """SpatioTemporalResBlock: spatial resnet -> temporal resnet ->
-    learned alpha blend. x: [B*T, H, W, C], temb: [B*T, D]."""
+    learned alpha blend. x: [B*T, H, W, C], temb: [B*T, D] or None."""
     s = _resnet2d(x, temb, p["spatial_res_block"], cfg.norm_groups)
     bt, hh, ww, c = s.shape
     s5 = s.reshape(b, t, hh, ww, c)
-    tt = _resnet_temporal(s5, temb.reshape(b, t, -1),
+    tt = _resnet_temporal(s5,
+                          None if temb is None else temb.reshape(b, t, -1),
                           p["temporal_res_block"], cfg.norm_groups)
     return _alpha_blend(p["time_mixer"], s5, tt).reshape(bt, hh, ww, c)
 

@@ -11,13 +11,13 @@ decode -> 3-channel output the reference collapses to mono depth. This
 module assembles that flow from the native pieces:
 
   * `models/svd_unet.py` — the UNet;
-  * `models/flux_vae.py` at the SD geometry (ch 128, mult (1,2,4,4),
-    z=4, scale 0.18215, shift 0) — the published encoder EXACTLY; the
-    decoder here is the spatial KL decoder, not the temporal-conv
-    decoder variant of the video release (documented simplification:
-    the reference's own postprocess collapses channels to mono and
-    min-max normalizes, so the temporal decoder's smoothing is the only
-    delta; swap in a temporal decoder via `decode_fn` if needed);
+  * the VAE: `models/flux_vae.py` at the SD geometry (ch 128, mult
+    (1,2,4,4), z=4, scale 0.18215, shift 0) — the published encoder
+    EXACTLY; when the checkpoint carries the video release's TEMPORAL
+    decoder (`decoder.time_conv_out` present), the loader auto-detects
+    it and decodes through `models/svd_vae.py` (spatio-temporal
+    resblocks + final 3-tap RGB temporal conv, quant_conv honored);
+    otherwise the spatial KL decoder runs (`decode_fn` overrides);
   * image embeddings are injectable (`image_embed_fn`); the real CLIP
     ViT-H checkpoint is external in the reference too. Without one, a
     deterministic per-frame embedding keeps the conditioning path live.
@@ -124,7 +124,12 @@ class DepthCrafterDenoiser:
         k_lat, k_aug = jax.random.split(key)
 
         x = jnp.asarray(frames * 2.0 - 1.0, self.dtype)
-        cond_z = flux_vae_encode(self.vae_params, self.vae_cfg, x)
+        if "quant_conv" in self.vae_params:
+            # video-release VAE: encoder + quant_conv (svd_vae path)
+            from flexam_tpu.models.svd_vae import svd_vae_encode
+            cond_z = svd_vae_encode(self.vae_params, self.vae_cfg, x)
+        else:
+            cond_z = flux_vae_encode(self.vae_params, self.vae_cfg, x)
         # the published conditioning uses UNSCALED posterior means with
         # noise augmentation
         cond_z = cond_z / self.vae_cfg.scale_factor
@@ -174,7 +179,32 @@ def load_depthcrafter_denoiser(
     unet, rep = svd_unet_params_from_state_dict(_load_one(ckpt), cfg)
     check_mapping(rep, f"depthcrafter:{os.path.basename(ckpt)}",
                   threshold=coverage_threshold, strict=True)
-    vae_p, vrep = flux_vae_params_from_state_dict(_load_one(vae), vae_cfg)
+    vae_sd = _load_one(vae)
+    if "decoder.time_conv_out.weight" in vae_sd:
+        # the video release's VAE: SD encoder + TEMPORAL decoder
+        from flexam_tpu.models.svd_vae import (
+            TemporalDecoderConfig, make_temporal_decode_fn,
+            svd_vae_params_from_state_dict)
+        # the decoder's channel ladder mirrors the encoder's
+        dec_cfg = TemporalDecoderConfig(
+            z_channels=vae_cfg.z_channels,
+            block_out_channels=tuple(vae_cfg.ch * m
+                                     for m in vae_cfg.ch_mult),
+            layers_per_block=vae_cfg.num_res_blocks,
+            scale_factor=vae_cfg.scale_factor)
+        vae_p, vrep = svd_vae_params_from_state_dict(vae_sd, vae_cfg,
+                                                     dec_cfg)
+        check_mapping(vrep, f"svd-vae-temporal:{os.path.basename(vae)}",
+                      threshold=coverage_threshold, strict=True)
+        kw.setdefault("decode_fn",
+                      make_temporal_decode_fn(vae_p, dec_cfg, dtype))
+        # encode rides the shared encoder body (+ quant_conv when the
+        # checkpoint has one); decode goes through decode_fn above
+        enc_tree = {k: vae_p[k] for k in ("encoder", "quant_conv")
+                    if k in vae_p}
+        return DepthCrafterDenoiser(unet, enc_tree, cfg=cfg,
+                                    vae_cfg=vae_cfg, dtype=dtype, **kw)
+    vae_p, vrep = flux_vae_params_from_state_dict(vae_sd, vae_cfg)
     check_mapping(vrep, f"svd-vae:{os.path.basename(vae)}",
                   threshold=coverage_threshold, strict=True)
     return DepthCrafterDenoiser(unet, vae_p, cfg=cfg, vae_cfg=vae_cfg,
