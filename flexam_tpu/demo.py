@@ -341,7 +341,8 @@ def main(argv=None):
         from flexam_tpu.perception.depth import estimate_depth
         from flexam_tpu.repaint import (FirstFrameRepainter,
                                         make_flexam_repaint_fn)
-        if os.environ.get("FLEXAM_FLUX_CKPT"):
+        if (os.environ.get("FLEXAM_FLUX_CKPT")
+                and os.environ.get("FLEXAM_FLUX_AE")):
             # the reference's actual backend (`pipelines.py:137-173`):
             # native FLUX.1-Depth port, weights from FLEXAM_FLUX_* files
             from flexam_tpu.repaint_flux import load_flux_repainter
@@ -349,6 +350,10 @@ def main(argv=None):
                   "(FLEXAM_FLUX_CKPT)")
             repaint_fn = load_flux_repainter().as_repaint_fn(args.seed)
         else:
+            if os.environ.get("FLEXAM_FLUX_CKPT"):
+                print("WARNING: FLEXAM_FLUX_CKPT set without "
+                      "FLEXAM_FLUX_AE — falling back to the native "
+                      "FlexAM repaint")
             print("NOTE: --repaint true -> native depth-conditioned "
                   "single-frame generation (the reference uses external "
                   "FLUX.1-Depth here; set FLEXAM_FLUX_CKPT/FLEXAM_FLUX_AE "

@@ -461,17 +461,36 @@ def flux_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
     """Exact BFL-layout name map -> scan-stacked pytree + coverage report
     ({"loaded", "missed", "unused"} for `io/verify_load.check_mapping`)."""
     names = _bfl_names(cfg)
+    template = init_flux_params(jax.random.PRNGKey(0), cfg)
     blocks: Dict[str, list] = {
         "double_blocks": [dict() for _ in range(cfg.depth_double)],
         "single_blocks": [dict() for _ in range(cfg.depth_single)],
     }
     flat: Dict[str, np.ndarray] = {}
     loaded, missed = [], []
+
+    def _expected_shape(path):
+        node = template
+        for p in path:
+            if isinstance(p, int):   # block index -> per-block leaf shape
+                continue
+            node = node[p]
+        shape = tuple(np.asarray(node).shape)
+        # scan-stacked families carry a leading depth axis
+        return shape[1:] if path[0] in blocks else shape
+
     for key, path in names.items():
         if key not in sd:
             missed.append("/".join(str(p) for p in path))
             continue
         val = np.asarray(sd[key], dtype)
+        if val.shape != _expected_shape(path):
+            # wrong-geometry checkpoint (e.g. base 64-channel flux1-dev
+            # against the 128-channel Control config): count as missed so
+            # the coverage gate refuses loudly instead of np.stack/jit
+            # erroring later
+            missed.append("/".join(str(p) for p in path))
+            continue
         loaded.append("/".join(str(p) for p in path))
         if path[0] in blocks:
             _, i, *leaf = path

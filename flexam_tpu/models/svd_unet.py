@@ -391,7 +391,6 @@ def init_svd_unet_params(key, cfg: SVDUNetConfig,
 
     # down path (last level has no attention and no downsampler)
     ci = chans[0]
-    down_out = []       # per-skip channel list for the up path
     skip_ch = [ci]
     for i, co in enumerate(chans):
         blk: dict = {"resnets": []}
@@ -408,7 +407,6 @@ def init_svd_unet_params(key, cfg: SVDUNetConfig,
             blk["downsamplers"] = [{"conv": conv2(co, co)}]
             skip_ch.append(co)
         params["down_blocks"].append(blk)
-        down_out.append(co)
 
     params["mid_block"] = {
         "resnets": [st_res(chans[-1], chans[-1]),
@@ -475,12 +473,6 @@ def svd_unet_params_from_state_dict(sd: Dict[str, np.ndarray],
     params = jax.tree_util.tree_map(
         lambda x: np.zeros(np.asarray(x).shape, dtype), template)
     flat_out = _flatten(params)
-
-    def to_ours(torch_key: str) -> str:
-        k = torch_key
-        for a, b in _RENAMES.items():
-            k = k.replace(a, b)
-        return k
 
     loaded, missed, used = [], [], set()
     for ours in flat:

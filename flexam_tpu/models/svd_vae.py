@@ -173,13 +173,62 @@ def svd_vae_encode(params: dict, vae_cfg: FluxVAEConfig,
     return vae_cfg.scale_factor * mean
 
 
+def _translate_diffusers_vae(sd: Dict[str, np.ndarray],
+                             enc_cfg: FluxVAEConfig) -> Dict[str, np.ndarray]:
+    """Translate the video-release VAE's diffusers-style naming to the
+    internal hybrid: encoder `down_blocks.N.resnets.M` -> CompVis
+    `down.N.block.M`, `mid_block.resnets.{0,1}` -> `mid.block_{1,2}`,
+    attention `to_q/to_k/to_v/to_out.0` Linears -> `q/k/v/proj_out`
+    1x1-conv weights, `conv_norm_out` -> `norm_out`. Decoder keys with
+    `mid_block.attentions.0.to_*` get the same linear->conv treatment;
+    everything else passes through."""
+    out: Dict[str, np.ndarray] = {}
+    n_lv = len(enc_cfg.ch_mult)
+    attn_map = {"to_q": "q", "to_k": "k", "to_v": "v",
+                "to_out.0": "proj_out", "group_norm": "norm"}
+    for k, v in sd.items():
+        nk = k
+        if k.startswith("encoder."):
+            nk = nk.replace(".conv_norm_out.", ".norm_out.")
+            for i in range(n_lv):
+                nk = nk.replace(f"down_blocks.{i}.resnets.",
+                                f"down.{i}.block.")
+                nk = nk.replace(f"down_blocks.{i}.downsamplers.0.conv",
+                                f"down.{i}.downsample")
+            nk = nk.replace("mid_block.resnets.0.", "mid.block_1.")
+            nk = nk.replace("mid_block.resnets.1.", "mid.block_2.")
+            if "mid_block.attentions.0." in nk:
+                for a, b in attn_map.items():
+                    nk = nk.replace(f"mid_block.attentions.0.{a}.",
+                                    f"mid.attn_1.{b}.")
+            # diffusers ResnetBlock2D names the 1x1 skip conv_shortcut;
+            # the CompVis encoder map expects nin_shortcut
+            nk = nk.replace(".conv_shortcut.", ".nin_shortcut.")
+        if k.startswith("decoder.mid_block.attentions.0."):
+            for a, b in attn_map.items():
+                nk = nk.replace(f"attentions.0.{a}.", f"attentions.0.{b}.")
+        # attention projections ship as [C, C] Linears; the internal
+        # blocks run them as 1x1 convs
+        if (("attn_1" in nk or "attentions.0" in nk)
+                and nk.endswith(".weight")
+                and not nk.endswith("norm.weight")
+                and np.asarray(v).ndim == 2):
+            v = np.asarray(v)[:, :, None, None]     # OI -> OIHW
+        out[nk] = v
+    return out
+
+
 def svd_vae_params_from_state_dict(sd: Dict[str, np.ndarray],
                                    enc_cfg: FluxVAEConfig,
                                    dec_cfg: TemporalDecoderConfig,
                                    dtype=np.float32
                                    ) -> Tuple[dict, Dict[str, list]]:
     """encoder.* via the image-VAE name map, quant_conv, decoder.* via
-    the generic published-naming map. Coverage report for verify_load."""
+    the generic published-naming map. Accepts BOTH the CompVis-style
+    naming and the video release's diffusers naming (auto-translated).
+    Coverage report for verify_load."""
+    if any(k.startswith("encoder.down_blocks.") for k in sd):
+        sd = _translate_diffusers_vae(sd, enc_cfg)
     # encoder through the existing exact map (ignore its decoder rows)
     enc_template, enc_rep = _fv.flux_vae_params_from_state_dict(
         {k: v for k, v in sd.items() if k.startswith("encoder.")},

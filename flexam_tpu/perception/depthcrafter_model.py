@@ -84,6 +84,7 @@ class DepthCrafterDenoiser:
                  fps: float = 7.0, motion_bucket_id: float = 127.0,
                  noise_aug_strength: float = 0.02,
                  dtype=jnp.float32, seed: int = 42):
+        # the published conditioning embeds fps - 1 (default 7 -> 6)
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype), unet_params)
         self.vae_params = jax.tree_util.tree_map(
@@ -92,10 +93,27 @@ class DepthCrafterDenoiser:
         self.image_embed_fn = image_embed_fn
         self.decode_fn = decode_fn
         self.added_ids = np.array(
-            [[fps, motion_bucket_id, noise_aug_strength]], np.float32)
+            [[fps - 1.0, motion_bucket_id, noise_aug_strength]],
+            np.float32)
         self.noise_aug = noise_aug_strength
         self.dtype = dtype
         self.seed = seed
+
+    def _encode_frames(self, x: jnp.ndarray,
+                       chunk: int = 16) -> jnp.ndarray:
+        """Frame-chunked VAE encode (the spatial encoder is per-frame
+        exact; one whole-window launch at the reference's 110-frame
+        1024-res windows would OOM the 16 GB chip and trip the ~60 s
+        executable watchdog — same discipline as models/vae_stream)."""
+        if "quant_conv" in self.vae_params:
+            from flexam_tpu.models.svd_vae import svd_vae_encode
+            enc = lambda xx: svd_vae_encode(self.vae_params,      # noqa
+                                            self.vae_cfg, xx)
+        else:
+            enc = lambda xx: flux_vae_encode(self.vae_params,     # noqa
+                                             self.vae_cfg, xx)
+        outs = [enc(x[i:i + chunk]) for i in range(0, x.shape[0], chunk)]
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     def _embed_frames(self, frames: np.ndarray) -> jnp.ndarray:
         """[T, h, w, 3] -> [1, T, 1, cross_dim] per-frame embeddings."""
@@ -124,19 +142,14 @@ class DepthCrafterDenoiser:
         k_lat, k_aug = jax.random.split(key)
 
         x = jnp.asarray(frames * 2.0 - 1.0, self.dtype)
-        if "quant_conv" in self.vae_params:
-            # video-release VAE: encoder + quant_conv (svd_vae path)
-            from flexam_tpu.models.svd_vae import svd_vae_encode
-            cond_z = svd_vae_encode(self.vae_params, self.vae_cfg, x)
-        else:
-            cond_z = flux_vae_encode(self.vae_params, self.vae_cfg, x)
-        # the published conditioning uses UNSCALED posterior means with
-        # noise augmentation
-        cond_z = cond_z / self.vae_cfg.scale_factor
+        # the published pipeline noise-augments the conditioning PIXELS
+        # before the encode (strength matches the embedded id)
         if self.noise_aug > 0:
-            cond_z = cond_z + self.noise_aug * jax.random.normal(
-                k_aug, cond_z.shape, cond_z.dtype)
-        cond_z = cond_z[None]                       # [1, T, h/8, w/8, 4]
+            x = x + self.noise_aug * jax.random.normal(
+                k_aug, x.shape, x.dtype)
+        cond_z = self._encode_frames(x)
+        # the published conditioning concats UNSCALED posterior means
+        cond_z = (cond_z / self.vae_cfg.scale_factor)[None]
 
         ctx = self._embed_frames(frames)
         ctx_un = jnp.zeros_like(ctx)
@@ -153,12 +166,16 @@ class DepthCrafterDenoiser:
                 jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
                 jnp.float32(guidance_scale))
 
-        z = sample[0] * self.vae_cfg.scale_factor   # [T, h/8, w/8, 4]
+        # the diffusion state lives in the SCALED latent space (the
+        # published decode does 1/scale inside) — pass it through as-is
+        z = sample[0]                               # [T, h/8, w/8, 4]
         if self.decode_fn is not None:
             out = np.asarray(self.decode_fn(z))
         else:
-            out = np.asarray(flux_vae_decode(
-                self.vae_params, self.vae_cfg, z).astype(jnp.float32))
+            outs = [np.asarray(flux_vae_decode(
+                self.vae_params, self.vae_cfg, z[i:i + 16]
+                ).astype(jnp.float32)) for i in range(0, z.shape[0], 16)]
+            out = np.concatenate(outs, 0) if len(outs) > 1 else outs[0]
         return np.clip(out * 0.5 + 0.5, 0.0, 1.0)
 
 

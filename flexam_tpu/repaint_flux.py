@@ -112,8 +112,9 @@ class FluxDepthRepainter:
                                      self.t5_cfg.vocab)
             txt = t5_encode(self.t5_params, self.t5_cfg, jnp.asarray(ids))
         else:   # random-init smoke path: hashed pseudo-features
+            import zlib
             rng = np.random.default_rng(
-                abs(hash(prompt)) % (2 ** 31))
+                zlib.crc32(prompt.encode()) & 0x7FFFFFFF)
             txt = jnp.asarray(rng.standard_normal(
                 (1, 64, self.cfg.context_dim)), jnp.float32)
         if self.clip_params is not None:
@@ -129,8 +130,9 @@ class FluxDepthRepainter:
             _, pooled = clip_text_forward(self.clip_params, self.clip_cfg,
                                           jnp.asarray(cids))
         else:
+            import zlib
             rng = np.random.default_rng(
-                abs(hash("clip" + prompt)) % (2 ** 31))
+                zlib.crc32(("clip" + prompt).encode()) & 0x7FFFFFFF)
             pooled = jnp.asarray(rng.standard_normal(
                 (1, self.cfg.vec_dim)), jnp.float32)
         return txt.astype(self.dtype), pooled.astype(self.dtype)

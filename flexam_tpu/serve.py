@@ -190,7 +190,8 @@ class GenerationServer:
                     out = self._generate_from_tracks(payload, kwargs,
                                                      progress_cb)
                 elif "partial_video_length" in payload:
-                    out = self._generate_long(payload, kwargs)
+                    out = self._generate_long(payload, kwargs,
+                                              progress_cb)
                 else:
                     out = self.pipe.generate(prompt=payload["prompt"],
                                              progress_cb=progress_cb,
@@ -256,9 +257,10 @@ class GenerationServer:
                                             progress_cb=progress_cb,
                                             **gen_kwargs)
 
-    def _generate_long(self, payload, kwargs):
+    def _generate_long(self, payload, kwargs, progress_cb=None):
         """Sliding-window long video (`ui/controller.py:324-325`,
-        partial_video_length/overlap_video_length)."""
+        partial_video_length/overlap_video_length). progress_cb reports
+        per-window denoise steps (and carries job cancellation)."""
         from flexam_tpu.long_video import (generate_long_video,
                                            window_inputs_from_seed)
         total = int(payload["video_length"])
@@ -288,7 +290,8 @@ class GenerationServer:
                 video, payload["prompt"], mask_video=mask,
                 control_video=win["control_video"],
                 depth_video=win["depth_video"], cos_videos=cw,
-                ref_image=kwargs.get("ref_image"), **gen_kwargs)
+                ref_image=kwargs.get("ref_image"),
+                progress_cb=progress_cb, **gen_kwargs)
 
         return generate_long_video(
             window, total, partial, overlap,
