@@ -242,6 +242,116 @@ def init_xlm_roberta_params(key, cfg: XLMRobertaConfig,
     }
 
 
+def clip_image_embed(params, cfg: CLIPVisionConfig,
+                     images: jnp.ndarray) -> jnp.ndarray:
+    """HF ``CLIPVisionModelWithProjection.image_embeds``: full-depth
+    tokens -> CLS -> post-layernorm -> bias-free visual projection.
+
+    This is the head SVD-family pipelines (DepthCrafter's published
+    conditioning) pool with — the reference consumes it through
+    diffusers' image_encoder. images: [B, 3, H, W], CLIP-normalized.
+    Returns [B, proj_dim]."""
+    tok = vit_forward(params, cfg, images, use_31_block=False)
+    pooled = _layer_norm(tok[:, 0], params["post_norm_w"],
+                         params["post_norm_b"], cfg.norm_eps)
+    return linear(pooled, params["visual_projection"])
+
+
+def clip_vision_params_from_hf(sd, num_heads: int = 16,
+                               activation: str = "gelu"
+                               ) -> Tuple[dict, CLIPVisionConfig, dict]:
+    """Map an HF ``CLIPVisionModelWithProjection`` state dict
+    (``vision_model.*`` + ``visual_projection``) onto the native tower.
+
+    Geometry (dim / depth / patch / image size) is inferred from tensor
+    shapes; ``num_heads`` and ``activation`` come from the model's
+    config.json (not recoverable from shapes). Returns
+    (params, cfg, coverage report for `io/verify_load.check_mapping`)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    # HF spells the attribute `pre_layrnorm`; normalize either spelling
+    for a, b in (("vision_model.pre_layernorm.weight",
+                  "vision_model.pre_layrnorm.weight"),
+                 ("vision_model.pre_layernorm.bias",
+                  "vision_model.pre_layrnorm.bias")):
+        if a in sd and b not in sd:
+            sd[b] = sd.pop(a)
+    loaded, missed = [], []
+
+    def g(k):
+        if k in sd:
+            loaded.append(k)
+            return np.asarray(sd[k], np.float32)
+        missed.append(k)
+        return None
+
+    cls = g("vision_model.embeddings.class_embedding")
+    pw = g("vision_model.embeddings.patch_embedding.weight")
+    pos = g("vision_model.embeddings.position_embedding.weight")
+    if cls is None or pw is None or pos is None:
+        report = {"loaded": loaded, "missed": missed + ["<geometry>"],
+                  "unused": sorted(set(sd) - set(loaded))}
+        return {}, CLIPVisionConfig(), report
+    dim = int(cls.reshape(-1).shape[0])
+    patch = int(pw.shape[-1])
+    n_pos = int(pos.shape[0])
+    image_size = patch * int(round((n_pos - 1) ** 0.5))
+    n_layers = 1 + max((int(k.split(".")[3]) for k in sd
+                        if k.startswith("vision_model.encoder.layers.")),
+                       default=-1)
+    cfg = CLIPVisionConfig(image_size=image_size, patch_size=patch,
+                           dim=dim, num_heads=num_heads,
+                           num_layers=n_layers, activation=activation,
+                           pre_norm=True)
+
+    blocks = []
+    for i in range(n_layers):
+        pfx = f"vision_model.encoder.layers.{i}"
+        qw, kw_, vw = (g(f"{pfx}.self_attn.{n}_proj.weight")
+                       for n in ("q", "k", "v"))
+        qb, kb, vb = (g(f"{pfx}.self_attn.{n}_proj.bias")
+                      for n in ("q", "k", "v"))
+        blk = {
+            "norm1_w": g(f"{pfx}.layer_norm1.weight"),
+            "norm1_b": g(f"{pfx}.layer_norm1.bias"),
+            "proj": {"weight": g(f"{pfx}.self_attn.out_proj.weight"),
+                     "bias": g(f"{pfx}.self_attn.out_proj.bias")},
+            "norm2_w": g(f"{pfx}.layer_norm2.weight"),
+            "norm2_b": g(f"{pfx}.layer_norm2.bias"),
+            "fc1": {"weight": g(f"{pfx}.mlp.fc1.weight"),
+                    "bias": g(f"{pfx}.mlp.fc1.bias")},
+            "fc2": {"weight": g(f"{pfx}.mlp.fc2.weight"),
+                    "bias": g(f"{pfx}.mlp.fc2.bias")},
+        }
+        if qw is not None and kw_ is not None and vw is not None:
+            blk["to_qkv"] = {"weight": np.concatenate([qw, kw_, vw], 0),
+                             "bias": np.concatenate([qb, kb, vb], 0)}
+        blocks.append(blk)
+    if any(any(v is None for v in jax.tree_util.tree_leaves(
+            b, is_leaf=lambda x: x is None)) or "to_qkv" not in b
+            for b in blocks):
+        report = {"loaded": loaded, "missed": missed,
+                  "unused": sorted(set(sd) - set(loaded))}
+        return {}, cfg, report
+
+    params = {
+        "patch_embedding": {"weight": pw},
+        "cls_embedding": cls.reshape(1, 1, dim),
+        "pos_embedding": pos.reshape(1, n_pos, dim),
+        "pre_norm_w": g("vision_model.pre_layrnorm.weight"),
+        "pre_norm_b": g("vision_model.pre_layrnorm.bias"),
+        "post_norm_w": g("vision_model.post_layernorm.weight"),
+        "post_norm_b": g("vision_model.post_layernorm.bias"),
+        "visual_projection": {"weight": g("visual_projection.weight")},
+        "blocks": jax.tree_util.tree_map(lambda *xs: np.stack(xs),
+                                         *blocks),
+    }
+    report = {"loaded": loaded, "missed": missed,
+              "unused": sorted(set(sd) - set(loaded))}
+    if missed:
+        return {}, cfg, report
+    return params, cfg, report
+
+
 def vit_params_from_state_dict(sd, cfg: CLIPVisionConfig) -> dict:
     """Map the reference `VisionTransformer` state_dict (prefix 'visual.'
     inside XLMRobertaCLIP, or none)."""

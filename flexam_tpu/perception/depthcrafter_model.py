@@ -18,9 +18,14 @@ module assembles that flow from the native pieces:
     it and decodes through `models/svd_vae.py` (spatio-temporal
     resblocks + final 3-tap RGB temporal conv, quant_conv honored);
     otherwise the spatial KL decoder runs (`decode_fn` overrides);
-  * image embeddings are injectable (`image_embed_fn`); the real CLIP
-    ViT-H checkpoint is external in the reference too. Without one, a
-    deterministic per-frame embedding keeps the conditioning path live.
+  * image embeddings: with FLEXAM_SVD_CLIP (an HF
+    CLIPVisionModelWithProjection file, the SVD release's
+    image_encoder), frames run through the NATIVE ViT tower
+    (`models/clip.py clip_image_embed` — antialiased 224 resize in
+    [-1,1], CLIP-normalize, full-depth CLS + post-LN + projection,
+    the published `_encode_image` flow). `image_embed_fn` stays
+    injectable; without either, a deterministic per-frame embedding
+    keeps the conditioning path live.
 
 One jit per denoise step (params as jit arguments), host loop over the
 25 steps — the same ~60 s executable-watchdog discipline as the main
@@ -179,6 +184,65 @@ class DepthCrafterDenoiser:
         return np.clip(out * 0.5 + 0.5, 0.0, 1.0)
 
 
+def make_clip_image_embed_fn(clip_params: dict, clip_cfg,
+                             dtype=jnp.bfloat16,
+                             chunk: int = 16) -> Callable:
+    """`image_embed_fn` over the native CLIP tower: [T, h, w, 3] frames
+    in [0,1] -> [T, proj_dim] image_embeds, the published SVD
+    `_encode_image` flow (antialiased 224 resize of the [-1,1] frames,
+    back to [0,1], CLIP-normalize, CLS + post-LN + projection).
+    Frame-chunked launches; params passed as jit arguments."""
+    from flexam_tpu.models.clip import clip_image_embed
+
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype), clip_params)
+    size = clip_cfg.image_size
+    mean = jnp.array([0.48145466, 0.4578275, 0.40821073],
+                     jnp.float32)[None, :, None, None]
+    std = jnp.array([0.26862954, 0.26130258, 0.27577711],
+                    jnp.float32)[None, :, None, None]
+
+    @jax.jit
+    def run(p, x):                    # x: [b, 3, h, w] in [0,1]
+        x = jax.image.resize(x * 2.0 - 1.0, (x.shape[0], 3, size, size),
+                             "bicubic")          # antialiased, as published
+        x = ((x + 1.0) / 2.0 - mean) / std
+        return clip_image_embed(p, clip_cfg, x.astype(dtype))
+
+    def fn(frames: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(np.asarray(frames, np.float32).transpose(0, 3, 1, 2))
+        outs = [np.asarray(run(params, x[i:i + chunk]), np.float32)
+                for i in range(0, x.shape[0], chunk)]
+        return np.concatenate(outs, 0) if len(outs) > 1 else outs[0]
+
+    return fn
+
+
+def _load_svd_clip(path: str, coverage_threshold: float,
+                   dtype) -> Callable:
+    """FLEXAM_SVD_CLIP -> native image_embed_fn (coverage-gated).
+    num_heads/hidden_act come from a config.json next to the weights
+    when present (shapes cannot recover them); SVD's ViT-H defaults
+    otherwise."""
+    import json
+
+    from flexam_tpu.io.checkpoints import _load_one
+    from flexam_tpu.models.clip import clip_vision_params_from_hf
+
+    num_heads, act = 16, "gelu"
+    cfg_file = os.path.join(os.path.dirname(path) or ".", "config.json")
+    if os.path.exists(cfg_file):
+        with open(cfg_file) as f:
+            hf = json.load(f)
+        num_heads = int(hf.get("num_attention_heads", num_heads))
+        act = {"quick_gelu": "quick_gelu"}.get(hf.get("hidden_act"), "gelu")
+    p, ccfg, rep = clip_vision_params_from_hf(
+        _load_one(path), num_heads=num_heads, activation=act)
+    check_mapping(rep, f"svd-clip:{os.path.basename(path)}",
+                  threshold=coverage_threshold, strict=True)
+    return make_clip_image_embed_fn(p, ccfg, dtype=dtype)
+
+
 def load_depthcrafter_denoiser(
         ckpt: Optional[str] = None, vae: Optional[str] = None,
         cfg: SVDUNetConfig = SVDUNetConfig(),
@@ -196,6 +260,10 @@ def load_depthcrafter_denoiser(
     unet, rep = svd_unet_params_from_state_dict(_load_one(ckpt), cfg)
     check_mapping(rep, f"depthcrafter:{os.path.basename(ckpt)}",
                   threshold=coverage_threshold, strict=True)
+    clip_path = kw.pop("clip", None) or os.environ.get("FLEXAM_SVD_CLIP")
+    if clip_path and "image_embed_fn" not in kw:
+        kw["image_embed_fn"] = _load_svd_clip(clip_path,
+                                              coverage_threshold, dtype)
     vae_sd = _load_one(vae)
     if "decoder.time_conv_out.weight" in vae_sd:
         # the video release's VAE: SD encoder + TEMPORAL decoder
