@@ -32,11 +32,15 @@ def generate_long_video(
     init_frames = 0
     seed_frames = start_frames
     while init_frames < total_frames:
-        remaining = total_frames - init_frames
-        if remaining < partial_video_length:
-            # snap to 4k+1 like the reference (`cogvideox_fun_ui.py:218-222`)
-            window = ((remaining - 1) // temporal_compression
-                      * temporal_compression) + 1
+        # a window that would reach past the end is the FINAL one: snap
+        # it to 4k+1 and stop after it, even when the snap leaves it
+        # short of total_frames (`cogvideox_fun_ui.py:216-262` exactly —
+        # also what keeps a snapped window <= overlap from stalling the
+        # advance, which steps by window - overlap otherwise)
+        final = init_frames + partial_video_length >= total_frames
+        if final:
+            window = ((total_frames - init_frames - 1)
+                      // temporal_compression * temporal_compression) + 1
             if window <= 0:
                 break
         else:
@@ -57,7 +61,7 @@ def generate_long_video(
                 + sample[:, :, :ov] * mix
             out = np.concatenate([out, sample[:, :, ov:]], axis=2)
 
-        if init_frames + window >= total_frames:
+        if final:
             break
         seed_frames = out[:, :, -overlap_video_length:]
         init_frames += window - overlap_video_length

@@ -41,6 +41,27 @@ def test_generate_long_video_composition():
     assert (np.diff(seq) >= -1e-5).all(), seq
 
 
+def test_final_snapped_window_terminates():
+    """A geometry whose snapped final window is <= overlap must still
+    terminate (reference semantics: the would-pass-the-end window is
+    final and the loop breaks after it, `cogvideox_fun_ui.py:216-262`;
+    the pre-fix advance of window - overlap went backwards here)."""
+    calls = []
+
+    def fake_window(start_frames=None, num_frames=None, frame_offset=0,
+                    **kw):
+        calls.append(num_frames)
+        return np.zeros((1, 3, num_frames, 4, 4), np.float32)
+
+    out = generate_long_video(fake_window, total_frames=9,
+                              partial_video_length=5,
+                              overlap_video_length=2)
+    # windows 5, 5, then the snapped 1-frame final window; like the
+    # reference, the snap-down leaves the output at 8 frames
+    assert calls == [5, 5, 1]
+    assert out.shape[2] == 8
+
+
 def test_long_video_with_real_pipeline():
     """Two overlapped windows through the actual tiny pipeline."""
     import jax

@@ -117,6 +117,62 @@ def test_health_endpoint():
     assert "queue_depth" in info and "busy" in info
 
 
+class LongSteppingPipe:
+    """Fake pipeline for the long-video path: the sliding-window driver
+    calls `generate(video, prompt, ...)` positionally per window."""
+
+    class _VaeCfg:
+        temporal_compression_ratio = 4
+
+    class _Cfg:
+        vae = None
+
+    def __init__(self, delay=0.05):
+        self.delay = delay
+        self.cfg = self._Cfg()
+        self.cfg.vae = self._VaeCfg()
+        self.windows = 0
+
+    def generate(self, video, prompt, mask_video=None, progress_cb=None,
+                 **kw):
+        self.windows += 1
+        for i in range(3):
+            time.sleep(self.delay)
+            if progress_cb is not None:
+                progress_cb(i + 1, 3)
+        return np.zeros_like(video)
+
+
+def _long_payload(total=11, partial=5, overlap=2):
+    return {"prompt": "hi", "video_length": total,
+            "partial_video_length": partial,
+            "overlap_video_length": overlap,
+            "video": _encode_array(np.zeros((1, 3, total, 8, 8)))}
+
+
+def test_long_video_job_reports_progress():
+    """partial_video_length payloads get progress too (the windowed
+    driver threads progress_cb into every window's generate)."""
+    pipe = LongSteppingPipe(delay=0.02)
+    srv = GenerationServer(pipe)
+    jid = srv.jobs.submit(_long_payload())
+    assert _wait(lambda: srv.jobs.status(jid)["state"] == "done")
+    assert srv.jobs.status(jid)["progress"] == {"step": 3, "total": 3}
+    assert pipe.windows == 3                        # 11f @ 5/2 overlap
+    out = srv.jobs.result(jid)
+    assert _decode_array(out["video"]).shape[2] == 11
+
+
+def test_long_video_job_cancels_mid_window():
+    pipe = LongSteppingPipe(delay=0.2)
+    srv = GenerationServer(pipe)
+    jid = srv.jobs.submit(_long_payload())
+    assert _wait(lambda: srv.jobs.status(jid)["state"] == "running")
+    time.sleep(0.1)
+    srv.jobs.cancel(jid)
+    assert _wait(lambda: srv.jobs.status(jid)["state"] == "cancelled")
+
+
 def test_pipeline_progress_cb_plumbing():
     """The REAL tiny pipeline fires progress at denoise chunk boundaries
     (generate -> generate_from_cond -> denoise plumbing)."""
