@@ -60,11 +60,54 @@ def _cache_is_safe(cache_dir: str, timeout_s: float = 75.0) -> bool:
         return False
 
 
+def _wait_for_tpu(max_wait_s: float) -> bool:
+    """The axon tunnel can be DOWN for stretches: a bare `jax.devices()`
+    wedges for minutes in-process (unkillable C++ call). Probe it in a
+    SUBPROCESS with a timeout and retry until the tunnel returns or the
+    budget runs out, so the driver's round-end bench run rides out an
+    outage window instead of hanging. Returns True when a device
+    answered (or the platform is CPU-forced)."""
+    import subprocess
+    import sys
+
+    # no JAX_PLATFORMS=cpu early-out: the axon plugin OVERRIDES the env
+    # var, so the subprocess probe (which inherits the env) is the only
+    # honest predictor of what main() will experience
+    code = ("import jax\n"
+            "d = jax.devices()\n"
+            "import jax.numpy as jnp\n"
+            "float(jnp.sum(jnp.ones((8, 128)) + 1))\n"
+            "print(d[0].platform, flush=True)\n")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=240,
+                               capture_output=True, text=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"[bench] device probe attempt {attempt} failed (tunnel "
+              f"down?); retrying in 60 s "
+              f"({int(deadline - time.time())} s budget left)",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main():
     import sys
 
     import jax
     import jax.numpy as jnp
+
+    if not _wait_for_tpu(float(os.environ.get("FLEXAM_BENCH_WAIT", 1800))):
+        print("[bench] no device answered within the wait budget — "
+              "refusing to fabricate a number", file=sys.stderr, flush=True)
+        sys.exit(1)
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
