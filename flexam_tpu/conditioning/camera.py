@@ -72,6 +72,46 @@ def ray_condition(K: np.ndarray, c2w: np.ndarray, H: int, W: int) -> np.ndarray:
     return plucker.reshape(B, V, H, W, 6).astype(np.float32)
 
 
+def process_pose_params(cam_params: np.ndarray, width: int = 672,
+                        height: int = 384,
+                        original_pose_width: int = 1280,
+                        original_pose_height: int = 720) -> np.ndarray:
+    """CameraCtrl pose rows -> Plucker embedding video [T, H, W, 6]
+    (`FlexAM/data/dataset_image_video.py:229-258`, consumed by the
+    ComfyUI sampler's `camera_conditions` input at
+    `wan2_2_fun_flexam/nodes.py:577-583`): aspect-corrected focal
+    rescale, pixel intrinsics, relative c2w chain, ray embedding."""
+    cams = [Camera(e) for e in np.asarray(cam_params, np.float64)]
+    sample_wh = width / height
+    pose_wh = original_pose_width / original_pose_height
+    if pose_wh > sample_wh:
+        for c in cams:
+            c.fx = (height * pose_wh) * c.fx / width
+    else:
+        for c in cams:
+            c.fy = (width / pose_wh) * c.fy / height
+    K = np.asarray([[c.fx * width, c.fy * height, c.cx * width,
+                     c.cy * height] for c in cams], np.float32)[None]
+    c2ws = get_relative_pose(cams)[None]
+    return ray_condition(K, c2ws, height, width)[0]       # [T, H, W, 6]
+
+
+def fold_camera_video(cam: np.ndarray) -> np.ndarray:
+    """Plucker camera video [B, 6, T, H, W] (T = 4k+1) -> the camera
+    adapter's input [B, 24, (T+3)/4, H, W]: first frame repeated 4x,
+    then 4-frame groups folded into channels — the reference pipeline's
+    control_camera_latents transform
+    (`pipeline_wan2_2_fun_control_FlexAM.py:697-707`)."""
+    cam = np.asarray(cam, np.float32)
+    x = np.concatenate([np.repeat(cam[:, :, :1], 4, axis=2),
+                        cam[:, :, 1:]], axis=2)
+    x = x.transpose(0, 2, 1, 3, 4)                 # b f c h w
+    b, f, c, h, w = x.shape
+    x = x.reshape(b, f // 4, 4, c, h, w).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, f // 4, c * 4, h, w).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(x)
+
+
 class CameraMotionGenerator:
     """Pose-DSL parser + projections (`pipelines.py:195-850`).
 

@@ -35,25 +35,39 @@ class LoadFlexAMModel:
 
     @classmethod
     def INPUT_TYPES(cls):
+        # the reference node's exact input surface
+        # (`wan2_2_fun_flexam/nodes.py:222-257`)
         return {"required": {
             "model": ("STRING", {"default": "Wan2.2-Fun-5B-FLEXAM"}),
+            "model_type": (["Inpaint", "Control"],),
             "GPU_memory_mode": ([
                 "model_full_load", "model_full_load_and_qfloat8",
                 "model_cpu_offload", "model_cpu_offload_and_qfloat8",
                 "sequential_cpu_offload"],),
-            "model_type": (["Inpaint", "Control"],),
+            "config": ("STRING",
+                       {"default": "wan2.2/wan_civitai_5b_FlexAM.yaml"}),
+            "precision": (["fp16", "bf16"], {"default": "bf16"}),
+        }, "optional": {
+            "model_2": ("STRING", {"default": ""}),
         }}
 
-    RETURN_TYPES = ("FLEXAM_MODEL",)
+    RETURN_TYPES = ("FunModels",)        # the reference's link type
+    RETURN_NAMES = ("funmodels",)
     FUNCTION = "loadmodel"
     CATEGORY = "FlexAM-TPU"
 
     def loadmodel(self, model, GPU_memory_mode="model_full_load",
                   model_type="Inpaint", random_init=None, model_2=None,
-                  config=None):
+                  config=None, precision="bf16"):
         """`model_2` loads a second high-noise expert for the
         timestep-MoE boundary switch (`wan2_2_fun_flexam/nodes.py:266-274`);
-        `config` accepts a LoadConfig output (FlexAMConfig)."""
+        `config` accepts a LoadConfig output (FlexAMConfig) OR the
+        reference widget's yaml path string. `precision` is accepted for
+        graph parity; compute stays bf16 (fp16 has no TPU advantage)."""
+        if isinstance(config, str):
+            config = LoadConfig().process(config)[0] if config else None
+        if model_2 == "":
+            model_2 = None
         import jax
         import jax.numpy as jnp
 
@@ -123,25 +137,60 @@ class FlexAMV2VSampler:
 
     @classmethod
     def INPUT_TYPES(cls):
+        # the reference node's exact input surface
+        # (`wan2_2_fun_flexam/nodes.py:368-454`); extra repo-native knobs
+        # (density, enable_riflex, loras) ride the optional section
         return {"required": {
-            "flexam_model": ("FLEXAM_MODEL",),
-            "prompt": ("STRING", {"multiline": True}),
-            "video_length": ("INT", {"default": 49}),
-            "base_resolution": ("INT", {"default": 512}),
-            "steps": ("INT", {"default": 50}),
-            "cfg": ("FLOAT", {"default": 6.0}),
-            "seed": ("INT", {"default": 43}),
-            "scheduler": (["Flow", "Flow_Unipc", "Flow_DPM++"],),
-            "generate_type": (list(cls.GENERATE_TYPES),),
+            "funmodels": ("FunModels",),
+            "prompt": ("STRING_PROMPT",),
+            "negative_prompt": ("STRING_PROMPT",),
+            "video_length": ("INT",
+                             {"default": 49, "min": 1, "max": 161,
+                              "step": 4}),
+            "base_resolution": ([512, 640, 768, 896, 960, 1024],
+                                {"default": 640}),
+            "seed": ("INT", {"default": 43, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "steps": ("INT", {"default": 50, "min": 1, "max": 200}),
+            "cfg": ("FLOAT", {"default": 6.0, "min": 1.0, "max": 20.0}),
+            "denoise_strength": ("FLOAT", {"default": 1.0, "min": 0.05,
+                                           "max": 1.0}),
+            "scheduler": (["Flow", "Flow_Unipc", "Flow_DPM++"],
+                          {"default": "Flow"}),
+            "shift": ("INT", {"default": 5, "min": 1, "max": 100}),
+            "boundary": ("FLOAT", {"default": 0.900, "min": 0.0,
+                                   "max": 1.0}),
+            "teacache_threshold": ("FLOAT", {"default": 0.10, "min": 0.0,
+                                             "max": 1.0}),
+            "enable_teacache": ([False, True], {"default": True}),
+            "num_skip_start_steps": ("INT", {"default": 5, "min": 0,
+                                             "max": 50}),
+            "teacache_offload": ([False, True], {"default": True}),
+            "cfg_skip_ratio": ("FLOAT", {"default": 0.0, "min": 0.0,
+                                         "max": 1.0}),
+            "generate_type": (list(cls.GENERATE_TYPES),
+                              {"default": "motion_transfer"}),
+            "dilation_pixels": ("INT", {"default": 200, "min": 0,
+                                        "max": 1000}),
+        }, "optional": {
+            "original_video": ("IMAGE",),
+            "depth_video": ("IMAGE",),
+            "control_video": ("IMAGE",),
+            "cos_video0": ("IMAGE",),
+            "cos_video1": ("IMAGE",),
+            "cos_video2": ("IMAGE",),
+            "cos_video3": ("IMAGE",),
+            "mask_video": ("IMAGE",),
+            "start_image": ("IMAGE",),
+            "end_image": ("IMAGE",),
+            "ref_image": ("IMAGE",),
+            "camera_conditions": ("STRING", {"forceInput": True}),
+            "riflex_k": ("RIFLEXT_ARGS",),
             "density": ("FLOAT", {"default": 15.0}),
-            "enable_teacache": ("BOOLEAN", {"default": False}),
-            "teacache_threshold": ("FLOAT", {"default": 0.10}),
-            "cfg_skip_ratio": ("FLOAT", {"default": 0.0}),
-            "enable_riflex": ("BOOLEAN", {"default": False}),
-            "riflex_k": ("INT", {"default": 6}),
         }}
 
     RETURN_TYPES = ("IMAGE",)
+    RETURN_NAMES = ("images",)
     FUNCTION = "process"
     CATEGORY = "FlexAM-TPU"
 
@@ -194,17 +243,86 @@ class FlexAMV2VSampler:
             merged.append((path, w))
         return merged
 
-    def process(self, flexam_model, prompt, validation_video,
+    def process(self, flexam_model=None, prompt="", validation_video=None,
                 control_video=None, depth_video=None, cos_videos=None,
                 ref_image=None, mask_video=None, video_length=49,
                 base_resolution=512, steps=50, cfg=6.0, seed=43,
                 scheduler="Flow", generate_type="motion_transfer",
                 density=15.0, enable_teacache=False,
                 teacache_threshold=0.10, teacache_skip_start=5,
-                cfg_skip_ratio=0.0, enable_riflex=False, riflex_k=6,
+                cfg_skip_ratio=0.0, enable_riflex=False, riflex_k=None,
                 negative_prompt=None, loras=(), strength_model=(),
-                lora_cache=False):
-        pipe = flexam_model
+                lora_cache=False,
+                # reference graph-protocol aliases/knobs
+                # (`wan2_2_fun_flexam/nodes.py:368-454`)
+                funmodels=None, original_video=None, cos_video0=None,
+                cos_video1=None, cos_video2=None, cos_video3=None,
+                start_image=None, end_image=None, denoise_strength=1.0,
+                shift=None, boundary=None, num_skip_start_steps=None,
+                teacache_offload=None, dilation_pixels=200,
+                camera_conditions=None):
+        pipe = funmodels if funmodels is not None else flexam_model
+        if validation_video is None:
+            validation_video = original_video
+        camera_video = None
+        if camera_conditions:
+            # `camera_conditions` trajectory JSON -> Plucker camera video
+            # for the Control-Camera adapter; generation is driven by the
+            # camera alone (`wan2_2_fun_flexam/nodes.py:577-583`)
+            import json as _json
+
+            from flexam_tpu.conditioning.camera import process_pose_params
+            poses = _json.loads(camera_conditions)
+            cam_params = np.array([[float(x) for x in p] for p in poses])
+            cam_params = np.concatenate(
+                [np.zeros_like(cam_params[:, :1]), cam_params], 1)
+            if validation_video is not None:
+                ch, cw = self.snap_resolution(
+                    *np.asarray(validation_video).shape[-2:],
+                    base_resolution)
+            else:
+                ch, cw = self.snap_resolution(512, 896, base_resolution)
+            plucker = process_pose_params(cam_params, width=cw, height=ch)
+            camera_video = plucker[:video_length].transpose(3, 0, 1, 2)[None]
+            validation_video = np.zeros((1, 3, video_length, ch, cw),
+                                        np.float32)
+            mask_video = np.ones((1, 1, video_length, ch, cw), np.float32)
+            control_video = depth_video = cos_videos = None
+        if cos_videos is None and cos_video0 is not None:
+            cos_videos = [c for c in (cos_video0, cos_video1,
+                                      cos_video2, cos_video3)
+                          if c is not None]
+        if num_skip_start_steps is not None:
+            teacache_skip_start = num_skip_start_steps
+        # teacache_offload / denoise_strength: graph parity only — the
+        # TPU TeaCache residual lives on device (no CUDA<->CPU offload)
+        # and the reference UI always calls with strength=1
+        if validation_video is None and start_image is not None:
+            # i2v-style seed: first frame(s) known, rest generated
+            # (`get_image_to_video_latent`, utils.py:303-397)
+            from flexam_tpu.long_video import window_inputs_from_seed
+            img = np.asarray(start_image, np.float32)
+            if img.ndim == 3:
+                img = img[None]                       # [1, H, W, 3]
+            seed_v = img.transpose(0, 3, 1, 2)[None].transpose(
+                0, 2, 1, 3, 4)                        # [1, 3, k, H, W]
+            h0, w0 = seed_v.shape[-2:]
+            validation_video, mask = window_inputs_from_seed(
+                seed_v, video_length, h0, w0)
+            if end_image is not None:
+                e = np.asarray(end_image, np.float32)
+                if e.ndim == 3:
+                    e = e[None]
+                validation_video[:, :, -e.shape[0]:] = \
+                    e.transpose(0, 3, 1, 2)[None].transpose(0, 2, 1, 3, 4)
+                mask[:, :, -e.shape[0]:] = 0.0
+            if mask_video is None:
+                mask_video = mask
+        if riflex_k is not None and not enable_riflex:
+            # a linked RIFLEXT_ARGS input (FunRiflex node) enables riflex
+            enable_riflex, riflex_k = True, int(riflex_k)
+        elif riflex_k is None:
+            riflex_k = 6
         merged_loras = []
         if loras:
             strengths = (list(strength_model)
@@ -214,12 +332,31 @@ class FlexAMV2VSampler:
         v = np.asarray(validation_video, np.float32)
         h, w = v.shape[-2:]
         th, tw = self.snap_resolution(h, w, base_resolution)
-        if (th, tw) != (h, w):
+
+        def _snap(x):
+            """Bilinear resize of any [..., H, W] stream to the snapped
+            bucket (the reference runs EVERY stream through
+            get_video_to_video_latent at (height, width),
+            `wan2_2_fun_flexam/nodes.py:586-592`)."""
+            if x is None:
+                return None
+            x = np.asarray(x, np.float32)
+            if x.shape[-2:] == (th, tw):
+                return x
             import jax
             import jax.numpy as jnp
-            b, c, t = v.shape[:3]
-            v = np.asarray(jax.image.resize(
-                jnp.asarray(v), (b, c, t, th, tw), method="bilinear"))
+            return np.asarray(jax.image.resize(
+                jnp.asarray(x), x.shape[:-2] + (th, tw),
+                method="bilinear"))
+
+        if (th, tw) != (h, w):
+            v = _snap(v)
+        control_video = _snap(control_video)
+        depth_video = _snap(depth_video)
+        mask_video = _snap(mask_video)
+        camera_video = _snap(camera_video)
+        if cos_videos is not None:
+            cos_videos = [_snap(c) for c in cos_videos]
 
         if enable_riflex:
             lat_frames = (video_length - 1) // \
@@ -229,7 +366,8 @@ class FlexAMV2VSampler:
         # mask pipelines (`:537-572`)
         if generate_type == "fg_generation" and mask_video is not None:
             from flexam_tpu.utils.masks import generate_mask_fg_tracking
-            m = generate_mask_fg_tracking(np.asarray(mask_video))
+            m = generate_mask_fg_tracking(np.asarray(mask_video),
+                                          dilation_pixels=dilation_pixels)
             mask_video = m.astype(np.float32).transpose(1, 0, 2, 3)[None]
         elif generate_type == "bg_generation" and mask_video is not None:
             from flexam_tpu.utils.masks import generate_mask_bg_tracking
@@ -240,10 +378,13 @@ class FlexAMV2VSampler:
             video=v, prompt=prompt, mask_video=mask_video,
             control_video=control_video, depth_video=depth_video,
             cos_videos=cos_videos, ref_image=ref_image,
+            camera_video=camera_video,
             negative_prompt=negative_prompt,
             num_inference_steps=steps, guidance_scale=cfg, seed=seed,
             density=1.0 / density,      # `:656-677` hardcodes 1/15
             scheduler_type=self.SCHEDULER_MAP[scheduler],
+            shift=float(shift) if shift is not None else None,
+            boundary=boundary,
             cfg_skip_ratio=cfg_skip_ratio,
             teacache_thresh=teacache_threshold if enable_teacache else 0.0,
             teacache_skip_start=teacache_skip_start)
@@ -279,24 +420,63 @@ class FunAttention:
         return (attention_type,)
 
 
+# the reference's sampler/annotator generate-type names map onto the
+# demo/CLI ones (`wan2_2_fun_flexam/nodes.py:426`)
+_GENERATE_TYPE_ALIASES = {"motion_transfer": "full_edit",
+                          "fg_generation": "foreground_edit",
+                          "bg_generation": "background_edit"}
+
+
+def _viz_geometry(input_video, height, width):
+    """Visualizer geometry: explicit height/width, else from the
+    reference's `input_video` link ([T,H,W,3] or [1,3,T,H,W])."""
+    if height is not None and width is not None:
+        return height, width
+    v = np.asarray(input_video)
+    if v.ndim == 5:
+        return v.shape[-2], v.shape[-1]
+    return v.shape[1], v.shape[2]
+
+
 class VideoToTrackingVisualizeAll:
     """`VideoToTrackingVisualizeAll` (`annotator/nodes.py:863-977`):
-    rasterize precomputed tracks into ALL 6 control videos in one node."""
+    rasterize precomputed tracks into ALL 6 control videos in one node.
+    Output arity/names match the reference exactly."""
 
-    RETURN_TYPES = ("IMAGE", "IMAGE_LIST", "IMAGE")
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "input_video": ("IMAGE",),
+            "pred_tracks": ("TRACKING_DATA",),
+            "pred_visibility": ("TRACKING_DATA",),
+            "point_size": ("INT", {"default": 4, "min": 1, "max": 20}),
+            "cos_level": ("INT", {"default": 4, "min": 1, "max": 8}),
+            "generate_type": (["motion_transfer", "fg_generation",
+                               "bg_generation"],
+                              {"default": "motion_transfer"}),
+        }, "optional": {"mask_video": ("IMAGE",)}}
+
+    RETURN_TYPES = ("IMAGE",) * 6
+    RETURN_NAMES = ("tracking_video", "depth_video", "cos_level_0",
+                    "cos_level_1", "cos_level_2", "cos_level_3")
     FUNCTION = "process"
     CATEGORY = "FlexAM-TPU"
 
-    def process(self, pred_tracks, pred_visibility, height, width,
+    def process(self, pred_tracks, pred_visibility, height=None,
+                width=None, input_video=None, point_size=None,
                 point_wise=4, cos_level=4, generate_type="full_edit",
                 mask_video=None):
         from flexam_tpu.conditioning import (cosine_positional_encoding,
                                              rasterize_cos_videos,
                                              rasterize_depth_video,
                                              rasterize_tracking_video)
+        height, width = _viz_geometry(input_video, height, width)
+        ps = point_wise if point_size is None else point_size
+        generate_type = _GENERATE_TYPE_ALIASES.get(generate_type,
+                                                   generate_type)
         tracking = rasterize_tracking_video(
             pred_tracks, pred_visibility, height, width,
-            point_wise=point_wise, mask_video=mask_video,
+            point_wise=ps, mask_video=mask_video,
             generate_type=generate_type)
         enc = cosine_positional_encoding(pred_tracks, height, width,
                                          L=cos_level)
@@ -305,22 +485,36 @@ class VideoToTrackingVisualizeAll:
                                    generate_type=generate_type)
         depth = rasterize_depth_video(
             pred_tracks, pred_visibility, height, width,
-            point_wise=point_wise, mask_video=mask_video,
+            point_wise=ps, mask_video=mask_video,
             generate_type=generate_type)
-        return (tracking, [cos[k] for k in sorted(cos)], depth)
+        # fixed 6-slot output like the reference (first 4 cos levels)
+        return (tracking, depth, *[cos[k] for k in sorted(cos)][:4])
 
 
 class VideoToTrackingVisualize:
     """`VideoToTrackingVisualize` (`annotator/nodes.py:436-558`): the
     tracking control video alone."""
 
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "input_video": ("IMAGE",),
+            "pred_tracks": ("TRACKING_DATA",),
+            "pred_visibility": ("TRACKING_DATA",),
+            "point_size": ("INT", {"default": 4, "min": 1, "max": 20}),
+        }, "optional": {"mask_video": ("IMAGE",)}}
+
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "process"
     CATEGORY = "FlexAM-TPU"
 
-    def process(self, pred_tracks, pred_visibility, height, width,
-                point_size=4, generate_type="full_edit", mask_video=None):
+    def process(self, pred_tracks, pred_visibility, height=None,
+                width=None, input_video=None, point_size=4,
+                generate_type="full_edit", mask_video=None):
         from flexam_tpu.conditioning import rasterize_tracking_video
+        height, width = _viz_geometry(input_video, height, width)
+        generate_type = _GENERATE_TYPE_ALIASES.get(generate_type,
+                                                   generate_type)
         return (rasterize_tracking_video(
             pred_tracks, pred_visibility, height, width,
             point_wise=point_size, mask_video=mask_video,
@@ -331,17 +525,30 @@ class VideoToCosVisualize:
     """`VideoToCosVisualize` (`annotator/nodes.py:560-761`): the L
     cosine-PE control videos."""
 
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "input_video": ("IMAGE",),
+            "pred_tracks": ("TRACKING_DATA",),
+            "pred_visibility": ("TRACKING_DATA",),
+            "point_size": ("INT", {"default": 4, "min": 1, "max": 20}),
+            "cos_level": ("INT", {"default": 4, "min": 1, "max": 8}),
+        }, "optional": {"mask_video": ("IMAGE",)}}
+
     RETURN_TYPES = ("IMAGE", "IMAGE", "IMAGE", "IMAGE")
     RETURN_NAMES = ("cos_level_0", "cos_level_1", "cos_level_2",
                     "cos_level_3")
     FUNCTION = "process"
     CATEGORY = "FlexAM-TPU"
 
-    def process(self, pred_tracks, pred_visibility, height, width,
-                point_size=4, cos_level=4, generate_type="full_edit",
-                mask_video=None):
+    def process(self, pred_tracks, pred_visibility, height=None,
+                width=None, input_video=None, point_size=4, cos_level=4,
+                generate_type="full_edit", mask_video=None):
         from flexam_tpu.conditioning import (cosine_positional_encoding,
                                              rasterize_cos_videos)
+        height, width = _viz_geometry(input_video, height, width)
+        generate_type = _GENERATE_TYPE_ALIASES.get(generate_type,
+                                                   generate_type)
         enc = cosine_positional_encoding(pred_tracks, height, width,
                                          L=cos_level)
         cos = rasterize_cos_videos(enc, pred_tracks, pred_visibility,
@@ -354,13 +561,26 @@ class VideoTodepthVisualize:
     """`VideoTodepthVisualize` (`annotator/nodes.py:763-861`): the
     Spectral-colormap depth control video."""
 
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "input_video": ("IMAGE",),
+            "pred_tracks": ("TRACKING_DATA",),
+            "pred_visibility": ("TRACKING_DATA",),
+            "point_size": ("INT", {"default": 4, "min": 1, "max": 20}),
+        }, "optional": {"mask_video": ("IMAGE",)}}
+
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "process"
     CATEGORY = "FlexAM-TPU"
 
-    def process(self, pred_tracks, pred_visibility, height, width,
-                point_size=4, generate_type="full_edit", mask_video=None):
+    def process(self, pred_tracks, pred_visibility, height=None,
+                width=None, input_video=None, point_size=4,
+                generate_type="full_edit", mask_video=None):
         from flexam_tpu.conditioning import rasterize_depth_video
+        height, width = _viz_geometry(input_video, height, width)
+        generate_type = _GENERATE_TYPE_ALIASES.get(generate_type,
+                                                   generate_type)
         return (rasterize_depth_video(
             pred_tracks, pred_visibility, height, width,
             point_wise=point_size, mask_video=mask_video,
@@ -371,6 +591,18 @@ class VideoToCanny:
     """`VideoToCanny` (`annotator/nodes.py:116-152`): per-frame cv2 Canny
     edges, colored 3-channel. Input video [1,3,T,H,W] or [T,H,W,3] float
     in [0,1]."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "input_video": ("IMAGE",),
+            "low_threshold": ("INT", {"default": 100, "min": 0,
+                                      "max": 255}),
+            "high_threshold": ("INT", {"default": 200, "min": 0,
+                                       "max": 255}),
+            "video_length": ("INT", {"default": 81, "min": 1, "max": 81,
+                                     "step": 4}),
+        }}
 
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "process"
@@ -412,6 +644,16 @@ class _ExternalAnnotator:
     FUNCTION = "process"
     CATEGORY = "FlexAM-TPU"
     BACKEND = ""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        # the shared reference annotator surface (`annotator/nodes.py:
+        # 153-160,234-241`); fixture is the repo's file-based backend
+        return {"required": {
+            "input_video": ("IMAGE",),
+            "video_length": ("INT", {"default": 81, "min": 1, "max": 81,
+                                     "step": 4}),
+        }, "optional": {"fixture": ("STRING", {"default": ""})}}
 
     def _video(self, input_video, video_length):
         v = np.asarray(input_video, np.float32)
@@ -455,6 +697,7 @@ class VideoToDepth(_ExternalAnnotator):
     BACKEND = "depth"
 
     def process(self, input_video, video_length=81, fixture=None):
+        fixture = fixture or None          # ComfyUI passes "" when unset
         v = self._video(input_video, video_length)
         if self.BACKEND not in ANNOTATOR_BACKENDS and fixture is None:
             from flexam_tpu.perception.depth import estimate_depth
@@ -479,6 +722,7 @@ class VideoToPose(_ExternalAnnotator):
 
     def process(self, input_video, video_length=81, fixture=None):
         import os
+        fixture = fixture or None          # ComfyUI passes "" when unset
         v = self._video(input_video, video_length)
         if (self.BACKEND not in ANNOTATOR_BACKENDS and fixture is None
                 and os.environ.get("FLEXAM_DWPOSE_DET")
@@ -510,8 +754,21 @@ class VideoToTrackingPredict(_ExternalAnnotator):
     RETURN_TYPES = ("TRACKING_DATA", "TRACKING_DATA")
     RETURN_NAMES = ("pred_tracks", "pred_visibility")
 
+    @classmethod
+    def INPUT_TYPES(cls):
+        # `annotator/nodes.py:300-305`: input_video + density
+        return {"required": {
+            "input_video": ("IMAGE",),
+            "density": ("INT", {"default": 10, "min": 1, "max": 100}),
+        }, "optional": {
+            "video_length": ("INT", {"default": 81, "min": 1, "max": 81,
+                                     "step": 4}),
+            "fixture": ("STRING", {"default": ""}),
+        }}
+
     def process(self, input_video, density=10, video_length=81,
                 fixture=None):
+        fixture = fixture or None          # ComfyUI passes "" when unset
         v = self._video(input_video, video_length)
         if self.BACKEND not in ANNOTATOR_BACKENDS and fixture is None:
             from flexam_tpu.perception import (find_delta_checkpoint,
@@ -626,6 +883,13 @@ class CreateTrajectoryBasedOnKJNodes:
     """`CreateTrajectoryBasedOnKJNodes` (`comfyui_nodes.py:171-225`):
     gaussian-heatmap trajectory images from coordinate strings."""
 
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "coordinates": ("STRING", {"forceInput": True}),
+            "masks": ("MASK", {"forceInput": True}),
+        }}
+
     RETURN_TYPES = ("IMAGE",)
     RETURN_NAMES = ("image",)
     FUNCTION = "createtrajectory"
@@ -680,6 +944,11 @@ class ImageMaximumNode:
     """`ImageMaximumNode` (`comfyui_nodes.py:227-255`): elementwise max of
     two [T,H,W,C] videos, second resized/truncated to the first."""
 
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"video_1": ("IMAGE",),
+                             "video_2": ("IMAGE",)}}
+
     RETURN_TYPES = ("IMAGE",)
     RETURN_NAMES = ("image",)
     FUNCTION = "imagemaximum"
@@ -701,6 +970,11 @@ class ImageMaximumNode:
 
 class ImageCollectNode:
     """`ImageCollectNode` (`comfyui_nodes.py:257-276`)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"image_1": ("IMAGE",)},
+                "optional": {"image_2": ("IMAGE",)}}
 
     RETURN_TYPES = ("IMAGE",)
     RETURN_NAMES = ("image",)
@@ -739,6 +1013,17 @@ class CameraCombineFromChaoJie:
     """`CameraCombineFromChaoJie` (`comfyui_nodes.py:311-337`): sum of up
     to four preset motions as one trajectory."""
 
+    @classmethod
+    def INPUT_TYPES(cls):
+        from flexam_tpu.conditioning.camera_presets import PRESET_NAMES
+        pose = (PRESET_NAMES, {"default": "Static"})
+        return {"required": {
+            "camera_pose1": pose, "camera_pose2": pose,
+            "camera_pose3": pose, "camera_pose4": pose,
+            "speed": ("FLOAT", {"default": 1.0}),
+            "video_length": ("INT", {"default": 16}),
+        }}
+
     RETURN_TYPES = ("CameraPose",)
     FUNCTION = "run"
     CATEGORY = "FlexAM-TPU"
@@ -755,6 +1040,11 @@ class CameraCombineFromChaoJie:
 class CameraJoinFromChaoJie:
     """`CameraJoinFromChaoJie` (`comfyui_nodes.py:338-357`)."""
 
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"camera_pose1": ("CameraPose",),
+                             "camera_pose2": ("CameraPose",)}}
+
     RETURN_TYPES = ("CameraPose",)
     FUNCTION = "run"
     CATEGORY = "FlexAM-TPU"
@@ -767,6 +1057,18 @@ class CameraJoinFromChaoJie:
 
 class CameraTrajectoryFromChaoJie:
     """`CameraTrajectoryFromChaoJie` (`comfyui_nodes.py:359-390`)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "camera_pose": ("CameraPose",),
+            "fx": ("FLOAT", {"default": 0.474812461, "min": 0.0,
+                             "max": 1.0, "step": 0.000000001}),
+            "fy": ("FLOAT", {"default": 0.844111024, "min": 0.0,
+                             "max": 1.0, "step": 0.000000001}),
+            "cx": ("FLOAT", {"default": 0.5, "min": 0.0, "max": 1.0}),
+            "cy": ("FLOAT", {"default": 0.5, "min": 0.0, "max": 1.0}),
+        }}
 
     RETURN_TYPES = ("STRING", "INT")
     RETURN_NAMES = ("camera_trajectory", "video_length")

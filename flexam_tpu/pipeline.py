@@ -662,6 +662,7 @@ class FlexAMGenerationPipeline:
         seed: int = 1245644,
         scheduler_type: Optional[str] = None,
         shift: Optional[float] = None,
+        boundary: Optional[float] = None,      # MoE switch; None = cfg's
         density: Optional[float] = None,
         cfg_skip_ratio: float = 0.0,
         latents: Optional[jnp.ndarray] = None,
@@ -689,7 +690,8 @@ class FlexAMGenerationPipeline:
             latents = jax.random.normal(key, (1, c, lt, lh, lw), jnp.float32)
 
         # static step partition for the timestep-MoE boundary (`:903-909`)
-        boundary_t = self.cfg.boundary * scfg.num_train_timesteps
+        boundary_t = ((boundary if boundary is not None
+                       else self.cfg.boundary) * scfg.num_train_timesteps)
         use_moe = self.models.dit2_params is not None
         high_steps = int(np.sum(tables.timesteps >= boundary_t)) if use_moe else 0
         # cfg-skip: drop uncond for the last ratio fraction
@@ -778,7 +780,7 @@ class FlexAMGenerationPipeline:
                     tables.convert, density is not None,
                     bool(cond.get("per_token_t", True)),
                     float(teacache_thresh), int(teacache_skip_start),
-                    attn_fn)
+                    attn_fn, cond.get("y_camera"))
                 c0 += length
                 if progress_cb is not None:
                     progress_cb(min(c0, n), n)
@@ -815,7 +817,8 @@ class FlexAMGenerationPipeline:
                            tea_coeffs, guidance_scale, density, length,
                            first_frame_known, with_cfg, solver_convert,
                            has_density, per_token_t, teacache_thresh,
-                           teacache_skip_start, attn_fn=None):
+                           teacache_skip_start, attn_fn=None,
+                           y_camera=None):
         cfg = self.cfg.dit
         dt = self.compute_dtype
         timesteps = sched["timesteps"]
@@ -862,6 +865,9 @@ class FlexAMGenerationPipeline:
                       full_ref=refb, rope_tables=self.rope_tables,
                       attn_fn=attn_fn or self.attn_fn,
                       binary_t_mask=bmask)
+            if y_camera is not None:    # Control-Camera adapter tokens
+                kw["y_camera"] = jnp.tile(y_camera.astype(dt),
+                                          (batch, 1, 1, 1, 1))
             if use_teacache:
                 return dit_forward_teacache(
                     params, cfg, xb, t_in, ctx, tea, i,
@@ -955,9 +961,11 @@ class FlexAMGenerationPipeline:
 
     def generate(self, video, prompt, mask_video=None, control_video=None,
                  depth_video=None, cos_videos=None, ref_image=None,
-                 negative_prompt=None, num_inference_steps=50,
+                 camera_video=None, negative_prompt=None,
+                 num_inference_steps=50,
                  guidance_scale=6.0, seed=1245644, density=None,
-                 scheduler_type=None, cfg_skip_ratio=0.0,
+                 scheduler_type=None, shift=None, boundary=None,
+                 cfg_skip_ratio=0.0,
                  teacache_thresh=0.0, teacache_skip_start=5,
                  teacache_coefficients=None,
                  offload_dit_for_decode: Optional[bool] = None,
@@ -972,10 +980,20 @@ class FlexAMGenerationPipeline:
                                      do_cfg=guidance_scale > 1.0)
         cond = self.prepare_conditioning(video, mask_video, control_video,
                                          depth_video, cos_videos, ref_image)
+        if camera_video is not None:
+            # Plucker camera video [B, 6, T, H, W] -> the Control-Camera
+            # adapter input (first-frame repeat + 4-frame channel fold,
+            # `pipeline_wan2_2_fun_control_FlexAM.py:697-707`); consumed
+            # by the DiT only when cfg.add_control_adapter is set
+            from flexam_tpu.conditioning.camera import fold_camera_video
+            cond["y_camera"] = jnp.asarray(
+                fold_camera_video(np.asarray(camera_video, np.float32)),
+                self.compute_dtype)
         return self.generate_from_cond(
             cond, context, num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, seed=seed, density=density,
-            scheduler_type=scheduler_type, cfg_skip_ratio=cfg_skip_ratio,
+            scheduler_type=scheduler_type, shift=shift, boundary=boundary,
+            cfg_skip_ratio=cfg_skip_ratio,
             teacache_thresh=teacache_thresh,
             teacache_skip_start=teacache_skip_start,
             teacache_coefficients=teacache_coefficients,
@@ -984,7 +1002,8 @@ class FlexAMGenerationPipeline:
 
     def generate_from_cond(self, cond, context, num_inference_steps=50,
                            guidance_scale=6.0, seed=1245644, density=None,
-                           scheduler_type=None, cfg_skip_ratio=0.0,
+                           scheduler_type=None, shift=None, boundary=None,
+                           cfg_skip_ratio=0.0,
                            teacache_thresh=0.0, teacache_skip_start=5,
                            teacache_coefficients=None,
                            offload_dit_for_decode: Optional[bool] = None,
@@ -996,6 +1015,7 @@ class FlexAMGenerationPipeline:
                                guidance_scale=guidance_scale, seed=seed,
                                density=density,
                                scheduler_type=scheduler_type,
+                               shift=shift, boundary=boundary,
                                cfg_skip_ratio=cfg_skip_ratio,
                                teacache_thresh=teacache_thresh,
                                teacache_skip_start=teacache_skip_start,

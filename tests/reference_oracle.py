@@ -304,6 +304,33 @@ def _load_as_submodule(relpath: str, dotted: str):
     return mod
 
 
+def load_reference_dataset_image_video():
+    """`FlexAM/data/dataset_image_video.py` (for `process_pose_params` /
+    `Camera` / `ray_condition` oracles). Its heavy loader deps
+    (albumentations, decord, func_timeout, torchvision) are absent here;
+    only their module-scope import names are stubbed — the pose-param
+    code paths never touch them."""
+    for name in ("albumentations", "func_timeout", "decord",
+                 "torchvision", "torchvision.transforms"):
+        if name not in sys.modules:
+            sys.modules[name] = _stub_module(name)
+    sys.modules["decord"].VideoReader = object
+    sys.modules["func_timeout"].FunctionTimedOut = type(
+        "FunctionTimedOut", (Exception,), {})
+    sys.modules["func_timeout"].func_timeout = lambda t, f, args=(), \
+        kwargs=None: f(*args, **(kwargs or {}))
+    sys.modules["torchvision"].transforms = \
+        sys.modules["torchvision.transforms"]
+
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, item):            # transforms.Compose etc.
+            return lambda *a, **k: None
+
+    sys.modules["torchvision.transforms"].__class__ = _AnyAttr
+    return load_reference_module("FlexAM/data/dataset_image_video.py",
+                                 "ref_dataset_image_video")
+
+
 def load_reference_module(relpath: str, name: str):
     """Load a reference python file as a standalone module (no package)."""
     _install_diffusers_stub()

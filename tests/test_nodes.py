@@ -56,10 +56,15 @@ def test_visualizer_node():
                        rng.uniform(0, 48, (5, 20)),
                        rng.uniform(0.5, 3, (5, 20))], -1).astype(np.float32)
     vis = np.ones((5, 20), bool)
-    tr, cos_list, depth = VideoToTrackingVisualizeAll().process(
+    tr, depth, *cos_list = VideoToTrackingVisualizeAll().process(
         tracks, vis, 48, 64)
     assert tr.shape == (1, 3, 5, 48, 64)
     assert len(cos_list) == 4 and depth.shape == tr.shape
+    # the reference's input_video link supplies the geometry too
+    video = np.zeros((1, 3, 5, 48, 64), np.float32)
+    tr2, *_ = VideoToTrackingVisualizeAll().process(
+        tracks, vis, input_video=video)
+    np.testing.assert_array_equal(tr, tr2)
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +143,7 @@ def test_split_visualizer_nodes_match_combined():
                        rng.uniform(0, 48, (5, 20)),
                        rng.uniform(0.5, 3, (5, 20))], -1).astype(np.float32)
     vis = np.ones((5, 20), bool)
-    tr_all, cos_all, depth_all = VideoToTrackingVisualizeAll().process(
+    tr_all, depth_all, *cos_all = VideoToTrackingVisualizeAll().process(
         tracks, vis, 48, 64)
     tr, = VideoToTrackingVisualize().process(tracks, vis, 48, 64)
     cos = VideoToCosVisualize().process(tracks, vis, 48, 64)
@@ -246,6 +251,54 @@ def test_sampler_lora_input(tmp_path):
     np.testing.assert_allclose(w_half - w_before,
                                (w_merged - w_before) * 0.5,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_every_node_satisfies_comfyui_protocol():
+    """ComfyUI's loader requires INPUT_TYPES/RETURN_TYPES/FUNCTION/
+    CATEGORY on every node class, and calls FUNCTION with every input as
+    a keyword — each declared input name must be a parameter of the
+    bound method."""
+    import inspect
+    for name, cls in NODE_CLASS_MAPPINGS.items():
+        assert callable(getattr(cls, "INPUT_TYPES", None)), name
+        assert isinstance(cls.RETURN_TYPES, tuple), name
+        fn = getattr(cls, cls.FUNCTION)
+        assert cls.CATEGORY, name
+        spec = cls.INPUT_TYPES()
+        params = inspect.signature(fn).parameters
+        takes_var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                           for p in params.values())
+        for section in ("required", "optional"):
+            for inp in spec.get(section, {}):
+                assert takes_var_kw or inp in params, (name, inp)
+        if hasattr(cls, "RETURN_NAMES"):
+            assert len(cls.RETURN_NAMES) == len(cls.RETURN_TYPES), name
+
+
+def test_reference_workflow_asset_resolves():
+    """The reference's OWN shipped graph (`assets/flexam_workflow.json`)
+    drops in: every FlexAM-owned node type resolves here and each node's
+    linked input names exist on our INPUT_TYPES. (The remaining types —
+    VHS video helpers, SAM2/GroundingDino mask creation, ComfyUI core —
+    are third-party ecosystem nodes the reference also does not ship.)"""
+    import json
+    import os
+    ref = "/root/reference/assets/flexam_workflow.json"
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip("reference asset not available")
+    wf = json.load(open(ref))
+    ours = 0
+    for n in wf["nodes"]:
+        cls = NODE_CLASS_MAPPINGS.get(n["type"])
+        if cls is None:
+            continue
+        ours += 1
+        spec = cls.INPUT_TYPES()
+        known = set(spec.get("required", {})) | set(spec.get("optional", {}))
+        for inp in n.get("inputs", []) or []:
+            assert inp["name"] in known, (n["type"], inp["name"])
+    assert ours >= 5        # loader, sampler, textbox, predict, visualize
 
 
 def test_workflow_jsons_reference_known_nodes():
