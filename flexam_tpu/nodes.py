@@ -833,9 +833,9 @@ class FunCompile:
     def INPUT_TYPES(cls):
         return {"required": {
             "cache_size_limit": ("INT", {"default": 64}),
-            "funmodels": ("FLEXAM_MODEL",)}}
+            "funmodels": ("FunModels",)}}
 
-    RETURN_TYPES = ("FLEXAM_MODEL",)
+    RETURN_TYPES = ("FunModels",)
     RETURN_NAMES = ("funmodels",)
     FUNCTION = "compile"
     CATEGORY = "FlexAM-TPU"
