@@ -310,10 +310,12 @@ def load_reference_dataset_image_video():
     (albumentations, decord, func_timeout, torchvision) are absent here;
     only their module-scope import names are stubbed — the pose-param
     code paths never touch them."""
+    added = []
     for name in ("albumentations", "func_timeout", "decord",
                  "torchvision", "torchvision.transforms"):
         if name not in sys.modules:
             sys.modules[name] = _stub_module(name)
+            added.append(name)
     sys.modules["decord"].VideoReader = object
     sys.modules["func_timeout"].FunctionTimedOut = type(
         "FunctionTimedOut", (Exception,), {})
@@ -327,8 +329,17 @@ def load_reference_dataset_image_video():
             return lambda *a, **k: None
 
     sys.modules["torchvision.transforms"].__class__ = _AnyAttr
-    return load_reference_module("FlexAM/data/dataset_image_video.py",
-                                 "ref_dataset_image_video")
+    try:
+        return load_reference_module("FlexAM/data/dataset_image_video.py",
+                                     "ref_dataset_image_video")
+    finally:
+        # leaving a fake torchvision in sys.modules makes transformers'
+        # availability probe think it EXISTS, breaking every later
+        # transformers-based oracle in the same process (same failure
+        # class as the spec-less-stub note on _stub_module) — the loaded
+        # module keeps its own references, so the global entries can go
+        for name in added:
+            sys.modules.pop(name, None)
 
 
 def load_reference_module(relpath: str, name: str):
