@@ -28,38 +28,52 @@ def generate_long_video(
     overlapping windows. `video`/`mask_video` follow the pipeline layout
     ([1,3,T,H,W] in [0,1]; mask 1 = generate). Returns [1,3,total,H,W]."""
     assert overlap_video_length < partial_video_length
+    tc = temporal_compression
     out = None
     init_frames = 0
     seed_frames = start_frames
     while init_frames < total_frames:
-        # a window that would reach past the end is the FINAL one: snap
-        # it to 4k+1 and stop after it, even when the snap leaves it
-        # short of total_frames (`cogvideox_fun_ui.py:216-262` exactly —
-        # also what keeps a snapped window <= overlap from stalling the
-        # advance, which steps by window - overlap otherwise)
+        # A window that would reach past the end is the FINAL one
+        # (`cogvideox_fun_ui.py:216-262`): the reference snaps it to 4k+1
+        # and stops. When the snap covers the remainder exactly, that is
+        # done verbatim; when it would truncate (the reference silently
+        # returns FEWER frames than asked there) the final window is
+        # instead re-anchored at total - partial so the advertised
+        # video_length is always delivered — the re-anchored window
+        # overlaps everything already generated past its start.
         final = init_frames + partial_video_length >= total_frames
         if final:
-            window = ((total_frames - init_frames - 1)
-                      // temporal_compression * temporal_compression) + 1
-            if window <= 0:
+            remaining = total_frames - init_frames
+            window = (remaining - 1) // tc * tc + 1
+            if window == remaining:        # reference-exact final window
+                ov_eff = overlap_video_length if out is not None else 0
+                start = init_frames
+            else:                          # re-anchored exact coverage
+                start = max(0, total_frames - partial_video_length)
+                window = min(partial_video_length,
+                             (total_frames - start - 1) // tc * tc + 1)
+                ov_eff = out.shape[2] - start if out is not None else 0
+            if window <= ov_eff or window <= 0:
                 break
+            seed_frames = (out[:, :, -ov_eff:] if ov_eff > 0 else
+                           (seed_frames if out is None else None))
         else:
-            window = partial_video_length
+            start, window = init_frames, partial_video_length
+            ov_eff = overlap_video_length if out is not None else 0
 
         sample = generate_window(
             start_frames=seed_frames, num_frames=window,
-            frame_offset=init_frames, **window_kwargs)
+            frame_offset=start, **window_kwargs)
         sample = np.array(sample, copy=True)
 
         if out is None:
             out = sample
         else:
-            ov = overlap_video_length
-            mix = (np.arange(ov, dtype=np.float32) / ov
+            mix = (np.arange(ov_eff, dtype=np.float32) / ov_eff
                    )[None, None, :, None, None]
-            out[:, :, -ov:] = out[:, :, -ov:] * (1 - mix) \
-                + sample[:, :, :ov] * mix
-            out = np.concatenate([out, sample[:, :, ov:]], axis=2)
+            out[:, :, -ov_eff:] = out[:, :, -ov_eff:] * (1 - mix) \
+                + sample[:, :, :ov_eff] * mix
+            out = np.concatenate([out, sample[:, :, ov_eff:]], axis=2)
 
         if final:
             break

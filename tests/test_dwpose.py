@@ -39,7 +39,15 @@ class _FakeSession:
 def vendored():
     import importlib.util
     if "onnxruntime" not in sys.modules:
-        sys.modules["onnxruntime"] = types.ModuleType("onnxruntime")
+        # a REAL ModuleSpec: a spec-less stub left in sys.modules makes
+        # importlib.util.find_spec raise "__spec__ is None" inside
+        # transformers' availability probing, erroring every later
+        # transformers-based oracle in the same process
+        import importlib.machinery
+        stub = types.ModuleType("onnxruntime")
+        stub.__spec__ = importlib.machinery.ModuleSpec("onnxruntime",
+                                                       loader=None)
+        sys.modules["onnxruntime"] = stub
     mods = {}
     for mod in ("onnxdet", "onnxpose"):
         spec = importlib.util.spec_from_file_location(

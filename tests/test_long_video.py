@@ -41,25 +41,37 @@ def test_generate_long_video_composition():
     assert (np.diff(seq) >= -1e-5).all(), seq
 
 
-def test_final_snapped_window_terminates():
-    """A geometry whose snapped final window is <= overlap must still
-    terminate (reference semantics: the would-pass-the-end window is
-    final and the loop breaks after it, `cogvideox_fun_ui.py:216-262`;
-    the pre-fix advance of window - overlap went backwards here)."""
+def test_final_window_anchors_for_exact_coverage():
+    """A geometry whose snapped final window would truncate (the
+    reference silently returns fewer frames than asked,
+    `cogvideox_fun_ui.py:216-262`) re-anchors the final window at
+    total - partial instead: the advertised length is always delivered
+    and the loop always terminates (the pre-fix advance of
+    window - overlap went backwards here)."""
     calls = []
 
     def fake_window(start_frames=None, num_frames=None, frame_offset=0,
                     **kw):
-        calls.append(num_frames)
+        calls.append((frame_offset, num_frames,
+                      None if start_frames is None
+                      else start_frames.shape[2]))
         return np.zeros((1, 3, num_frames, 4, 4), np.float32)
 
     out = generate_long_video(fake_window, total_frames=9,
                               partial_video_length=5,
                               overlap_video_length=2)
-    # windows 5, 5, then the snapped 1-frame final window; like the
-    # reference, the snap-down leaves the output at 8 frames
-    assert calls == [5, 5, 1]
-    assert out.shape[2] == 8
+    # windows 0-4, 3-7, then the final window re-anchored at 4 with an
+    # effective 4-frame overlap -> exactly 9 frames out
+    assert calls == [(0, 5, None), (3, 5, 2), (4, 5, 4)]
+    assert out.shape[2] == 9
+
+    # clean geometry: the reference-exact snapped final window is kept
+    calls.clear()
+    out = generate_long_video(fake_window, total_frames=97,
+                              partial_video_length=25,
+                              overlap_video_length=4)
+    assert out.shape[2] == 97
+    assert calls[-1] == (84, 13, 4)        # snap lands exactly -> verbatim
 
 
 def test_long_video_with_real_pipeline():

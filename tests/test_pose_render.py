@@ -19,7 +19,15 @@ def vendored():
     """Import the vendored dwpose_utils with an onnxruntime stub (the
     post-ONNX code under test never touches it)."""
     if "onnxruntime" not in sys.modules:
-        sys.modules["onnxruntime"] = types.ModuleType("onnxruntime")
+        # a REAL ModuleSpec: a spec-less stub left in sys.modules makes
+        # importlib.util.find_spec raise "__spec__ is None" inside
+        # transformers' availability probing, erroring every later
+        # transformers-based oracle in the same process
+        import importlib.machinery
+        stub = types.ModuleType("onnxruntime")
+        stub.__spec__ = importlib.machinery.ModuleSpec("onnxruntime",
+                                                       loader=None)
+        sys.modules["onnxruntime"] = stub
     import importlib.util
     names = {}
     pkg = types.ModuleType("dwpose_utils")
