@@ -73,6 +73,28 @@ def test_serve_long_video_two_windows():
     assert video.dtype == np.uint8
 
 
+def test_serve_camera_conditions():
+    """camera_conditions trajectory JSON drives generation through the
+    JSON API (the ComfyUI sampler's Control-Camera input, exposed
+    server-side)."""
+    import json
+
+    from flexam_tpu.serve import GenerationServer, _decode_array
+    from tests.test_camera_adapter_path import _camera_pipe, _pose_rows
+
+    srv = GenerationServer(_camera_pipe())
+    rows = _pose_rows(9)
+    out = srv.handle({
+        "prompt": "cam",
+        "camera_conditions": json.dumps([[float(x) for x in r]
+                                         for r in rows]),
+        "video_length": 9, "height": 32, "width": 32,
+        "num_inference_steps": 1, "guidance_scale": 1.0,
+    })
+    video = _decode_array(out["video"])
+    assert video.shape == (1, 3, 9, 32, 32), video.shape
+
+
 def test_serve_riflex_and_scheduler_forwarding():
     from flexam_tpu.serve import GenerationServer, _encode_array, \
         _decode_array
