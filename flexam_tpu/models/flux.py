@@ -461,7 +461,10 @@ def flux_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
     """Exact BFL-layout name map -> scan-stacked pytree + coverage report
     ({"loaded", "missed", "unused"} for `io/verify_load.check_mapping`)."""
     names = _bfl_names(cfg)
-    template = init_flux_params(jax.random.PRNGKey(0), cfg)
+    # shapes only — materializing a real init here would compute 12B
+    # random params just to validate geometry
+    template = jax.eval_shape(lambda k: init_flux_params(k, cfg),
+                              jax.random.PRNGKey(0))
     blocks: Dict[str, list] = {
         "double_blocks": [dict() for _ in range(cfg.depth_double)],
         "single_blocks": [dict() for _ in range(cfg.depth_single)],
@@ -475,7 +478,7 @@ def flux_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
             if isinstance(p, int):   # block index -> per-block leaf shape
                 continue
             node = node[p]
-        shape = tuple(np.asarray(node).shape)
+        shape = tuple(node.shape)        # ShapeDtypeStruct from eval_shape
         # scan-stacked families carry a leading depth axis
         return shape[1:] if path[0] in blocks else shape
 

@@ -6,6 +6,10 @@
     python -m flexam_tpu.tools.verify_ckpt --model unidepth path/ckpt
     python -m flexam_tpu.tools.verify_ckpt --model dit    path/transformer/
     python -m flexam_tpu.tools.verify_ckpt --model vae    path/Wan2.2_VAE.pth
+    python -m flexam_tpu.tools.verify_ckpt --model flux   flux1-depth-dev.safetensors
+    python -m flexam_tpu.tools.verify_ckpt --model svd-vae vae.safetensors
+    # every FLEXAM_*_CKPT family is covered: pi3 / vggt / zoe / dav2 /
+    # flux / flux-ae / svd-unet / svd-vae / svd-clip
 
 Shape-mapped loaders (delta, moge) print per-module coverage tables from
 `flexam_tpu.io.verify_load`; name-mapped loaders (dit, vae, t5, unidepth)
@@ -74,6 +78,65 @@ def verify(kind: str, path: str, threshold: float = 0.9) -> bool:
         cfg = FlexAMConfig().t5
         return _report_name_mapped(
             kind, path, lambda: load_t5_checkpoint(path, cfg))
+    if kind in ("pi3", "vggt"):
+        if kind == "pi3":
+            from flexam_tpu.perception.pi3 import load_pi3 as loader
+        else:
+            from flexam_tpu.perception.vggt import load_vggt as loader
+        try:
+            model = loader(path, coverage_threshold=threshold)
+        except Exception as e:
+            print(f"{kind}[{path}]: FAILED — {type(e).__name__}: {e}")
+            return False
+        return check_mapping(model.load_report, name=f"{kind}[{path}]",
+                             threshold=threshold)
+    if kind == "zoe":
+        from flexam_tpu.perception.zoedepth import load_zoedepth
+        return _report_name_mapped(kind, path,
+                                   lambda: load_zoedepth(path))
+    if kind == "dav2":
+        from flexam_tpu.perception.depth_anything import load_dav2
+        return _report_name_mapped(kind, path, lambda: load_dav2(path))
+    # single-file state-dict loaders: run the map, print the coverage
+    if kind in ("flux", "flux-ae", "svd-unet", "svd-vae", "svd-clip"):
+        from flexam_tpu.io.checkpoints import _load_one
+        sd = _load_one(path)
+        if kind == "flux":
+            from flexam_tpu.models.flux import (FluxConfig,
+                                                flux_params_from_state_dict)
+            _, rep = flux_params_from_state_dict(sd, FluxConfig())
+        elif kind == "flux-ae":
+            from flexam_tpu.models.flux_vae import (
+                FluxVAEConfig, flux_vae_params_from_state_dict)
+            _, rep = flux_vae_params_from_state_dict(sd, FluxVAEConfig())
+        elif kind == "svd-unet":
+            from flexam_tpu.models.svd_unet import (
+                SVDUNetConfig, svd_unet_params_from_state_dict)
+            _, rep = svd_unet_params_from_state_dict(sd, SVDUNetConfig())
+        elif kind == "svd-vae":
+            from flexam_tpu.perception.depthcrafter_model import \
+                SD_VAE_CONFIG
+            if "decoder.time_conv_out.weight" in sd:
+                from flexam_tpu.models.svd_vae import (
+                    TemporalDecoderConfig, svd_vae_params_from_state_dict)
+                dec = TemporalDecoderConfig(
+                    z_channels=SD_VAE_CONFIG.z_channels,
+                    block_out_channels=tuple(
+                        SD_VAE_CONFIG.ch * m
+                        for m in SD_VAE_CONFIG.ch_mult),
+                    layers_per_block=SD_VAE_CONFIG.num_res_blocks,
+                    scale_factor=SD_VAE_CONFIG.scale_factor)
+                _, rep = svd_vae_params_from_state_dict(
+                    sd, SD_VAE_CONFIG, dec)
+            else:
+                from flexam_tpu.models.flux_vae import \
+                    flux_vae_params_from_state_dict
+                _, rep = flux_vae_params_from_state_dict(sd, SD_VAE_CONFIG)
+        else:                                   # svd-clip
+            from flexam_tpu.models.clip import clip_vision_params_from_hf
+            _, _, rep = clip_vision_params_from_hf(sd)
+        return check_mapping(rep, name=f"{kind}[{path}]",
+                             threshold=threshold)
     raise SystemExit(f"unknown --model {kind}")
 
 
@@ -81,7 +144,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", required=True,
                     choices=["delta", "moge", "unidepth", "dit", "vae",
-                             "t5"])
+                             "t5", "pi3", "vggt", "zoe", "dav2", "flux",
+                             "flux-ae", "svd-unet", "svd-vae",
+                             "svd-clip"])
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--platform", default="cpu",
                     help="jax platform (default cpu — mapping is host "
