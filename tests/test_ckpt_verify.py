@@ -116,3 +116,29 @@ def test_verify_ckpt_cli(tmp_path):
     ckpt = tmp_path / "densetrack3d.pth"
     torch.save({"model": {"junk.weight": torch.zeros(3, 3)}}, str(ckpt))
     assert main(["--model", "delta", str(ckpt)]) == 1  # fails loudly
+
+
+def test_verify_ckpt_single_file_kinds(tmp_path):
+    """The round-3 loader families: a junk file fails every kind; a
+    correctly-shaped svd-clip file passes."""
+    from safetensors.numpy import save_file
+
+    from flexam_tpu.tools.verify_ckpt import verify
+
+    junk = str(tmp_path / "junk.safetensors")
+    save_file({"junk": np.zeros((2, 2), np.float32)}, junk)
+    for kind in ("flux", "flux-ae", "svd-unet", "svd-vae", "svd-clip"):
+        assert verify(kind, junk) is False, kind
+
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        projection_dim=16, hidden_act="gelu")
+    torch.manual_seed(0)
+    m = transformers.CLIPVisionModelWithProjection(cfg).eval()
+    good = str(tmp_path / "clip.safetensors")
+    save_file({k: np.ascontiguousarray(v.numpy())
+               for k, v in m.state_dict().items()}, good)
+    assert verify("svd-clip", good) is True
