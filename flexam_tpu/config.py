@@ -147,11 +147,10 @@ class FlexAMConfig:
             if k in dit_fields:
                 dit_kwargs[k] = tuple(v) if isinstance(v, list) else v
         vkw = y.get("vae_kwargs", {})
+        vae_fields = {f.name for f in dataclasses.fields(VAEConfig)}
         vae_kwargs = {}
-        for k in ("latent_channels", "c_dim", "dim_mult",
-                  "temporal_compression_ratio", "spatial_compression_ratio"):
-            if k in vkw:
-                v = vkw[k]
+        for k, v in vkw.items():
+            if k in vae_fields:
                 vae_kwargs[k] = tuple(v) if isinstance(v, list) else v
         tekw = y.get("text_encoder_kwargs", {})
         t5_fields = {f.name for f in dataclasses.fields(T5Config)}
@@ -170,6 +169,36 @@ class FlexAMConfig:
                 "transformer_combination_type", "single"),
             boundary=tkw.get("boundary", 0.875),
         )
+
+    def to_reference_yaml(self, path: str) -> None:
+        """Write this config in the reference YAML schema (the inverse
+        of `from_reference_yaml`, using OUR field names directly — no
+        dict_mapping needed). Used to generate the configs bundled under
+        `flexam_tpu/configs/` so the framework is self-contained."""
+        import yaml
+
+        def _plain(dc):
+            return {k: (list(v) if isinstance(v, tuple) else v)
+                    for k, v in dataclasses.asdict(dc).items()}
+
+        doc = {
+            "format": "civitai",
+            "pipeline": "Wan",
+            "transformer_additional_kwargs": {
+                **_plain(self.dit),
+                "transformer_combination_type":
+                    self.transformer_combination_type,
+                "boundary": self.boundary,
+            },
+            "vae_kwargs": _plain(self.vae),
+            "text_encoder_kwargs": _plain(self.t5),
+            "scheduler_kwargs": _plain(self.scheduler),
+        }
+        with open(path, "w") as f:
+            f.write("# generated by FlexAMConfig.to_reference_yaml — the\n"
+                    "# framework's bundled model hyperparameters, readable\n"
+                    "# by from_reference_yaml (reference-schema layout)\n")
+            yaml.safe_dump(doc, f, sort_keys=False)
 
     @classmethod
     def from_json(cls, s: str) -> "FlexAMConfig":

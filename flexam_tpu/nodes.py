@@ -856,6 +856,8 @@ class LoadConfig:
         "wan2.2/wan_civitai_s2v.yaml",
         "wan2.2/wan_civitai_5b.yaml",
         "wan2.2/wan_civitai_5b_FlexAM.yaml",
+        "wan2.1/wan_fun_1_3b.yaml",
+        "wan2.1/wan_fun_14b.yaml",
     ]
 
     @classmethod
@@ -870,13 +872,25 @@ class LoadConfig:
     CATEGORY = "FlexAM-TPU"
 
     def process(self, config, config_dir=None):
+        """Resolution order: explicit config_dir -> FLEXAM_CONFIG_DIR ->
+        the configs BUNDLED with the package (`flexam_tpu/configs/`,
+        generated via FlexAMConfig.to_reference_yaml — the framework is
+        self-contained) -> a reference checkout if one exists."""
         from flexam_tpu.config import FlexAMConfig
-        if config_dir is None:
-            config_dir = os.environ.get(
-                "FLEXAM_CONFIG_DIR",
-                os.path.join("/root/reference", "config"))
-        return (FlexAMConfig.from_reference_yaml(
-            os.path.join(config_dir, config)),)
+        candidates = []
+        if config_dir is not None:
+            candidates.append(config_dir)
+        if os.environ.get("FLEXAM_CONFIG_DIR"):
+            candidates.append(os.environ["FLEXAM_CONFIG_DIR"])
+        candidates.append(os.path.join(os.path.dirname(__file__),
+                                       "configs"))
+        candidates.append(os.path.join("/root/reference", "config"))
+        for d in candidates:
+            path = os.path.join(d, config)
+            if os.path.exists(path):
+                return (FlexAMConfig.from_reference_yaml(path),)
+        raise FileNotFoundError(
+            f"config {config!r} not found in any of {candidates}")
 
 
 class CreateTrajectoryBasedOnKJNodes:
