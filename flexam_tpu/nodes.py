@@ -357,6 +357,12 @@ class FlexAMV2VSampler:
         camera_video = _snap(camera_video)
         if cos_videos is not None:
             cos_videos = [_snap(c) for c in cos_videos]
+        if ref_image is not None:
+            r = np.asarray(ref_image, np.float32)
+            if r.ndim == 4 and r.shape[-1] == 3:
+                # ComfyUI IMAGE [1, H, W, 3] -> pipeline [1, 3, 1, H, W]
+                r = r[0].transpose(2, 0, 1)[None, :, None]
+            ref_image = _snap(r)
 
         if enable_riflex:
             lat_frames = (video_length - 1) // \
