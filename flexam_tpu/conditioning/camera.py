@@ -96,6 +96,27 @@ def process_pose_params(cam_params: np.ndarray, width: int = 672,
     return ray_condition(K, c2ws, height, width)[0]       # [T, H, W, 6]
 
 
+def camera_inputs_from_trajectory(camera_conditions, video_length: int,
+                                  height: int, width: int):
+    """The ComfyUI sampler's `camera_conditions` contract
+    (`wan2_2_fun_flexam/nodes.py:577-583`), shared by the graph node and
+    the serve API: trajectory JSON (or an already-parsed pose list) ->
+    (camera_video [1, 6, T, H, W], zeros video [1, 3, T, H, W],
+    all-generate mask [1, 1, T, H, W]) — generation is camera-driven."""
+    import json
+
+    poses = (json.loads(camera_conditions)
+             if isinstance(camera_conditions, str) else camera_conditions)
+    cam_params = np.array([[float(x) for x in p] for p in poses])
+    cam_params = np.concatenate(
+        [np.zeros_like(cam_params[:, :1]), cam_params], 1)
+    plucker = process_pose_params(cam_params, width=width, height=height)
+    cam = plucker[:video_length].transpose(3, 0, 1, 2)[None]
+    video = np.zeros((1, 3, video_length, height, width), np.float32)
+    mask = np.ones((1, 1, video_length, height, width), np.float32)
+    return cam, video, mask
+
+
 def fold_camera_video(cam: np.ndarray) -> np.ndarray:
     """Plucker camera video [B, 6, T, H, W] (T = 4k+1) -> the camera
     adapter's input [B, 24, (T+3)/4, H, W]: first frame repeated 4x,

@@ -50,8 +50,11 @@ def generate_long_video(
                 start = init_frames
             else:                          # re-anchored exact coverage
                 start = max(0, total_frames - partial_video_length)
-                window = min(partial_video_length,
-                             (total_frames - start - 1) // tc * tc + 1)
+                span = total_frames - start
+                # round UP to 4k+1 (trimmed after the loop) so e.g. an
+                # 11-frame request with partial > total still yields 11
+                w_up = ((span + tc - 2) // tc) * tc + 1
+                window = min(partial_video_length, w_up)
                 ov_eff = out.shape[2] - start if out is not None else 0
             if window <= ov_eff or window <= 0:
                 break
@@ -79,6 +82,8 @@ def generate_long_video(
             break
         seed_frames = out[:, :, -overlap_video_length:]
         init_frames += window - overlap_video_length
+    if out is not None and out.shape[2] > total_frames:
+        out = out[:, :, :total_frames]     # round-up final window trim
     return out
 
 

@@ -322,7 +322,7 @@ def clip_vision_params_from_hf(sd, num_heads: int = 16,
             "fc2": {"weight": g(f"{pfx}.mlp.fc2.weight"),
                     "bias": g(f"{pfx}.mlp.fc2.bias")},
         }
-        if qw is not None and kw_ is not None and vw is not None:
+        if all(t is not None for t in (qw, kw_, vw, qb, kb, vb)):
             blk["to_qkv"] = {"weight": np.concatenate([qw, kw_, vw], 0),
                              "bias": np.concatenate([qb, kb, vb], 0)}
         blocks.append(blk)

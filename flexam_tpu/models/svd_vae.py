@@ -194,7 +194,7 @@ def _translate_diffusers_vae(sd: Dict[str, np.ndarray],
                 nk = nk.replace(f"down_blocks.{i}.resnets.",
                                 f"down.{i}.block.")
                 nk = nk.replace(f"down_blocks.{i}.downsamplers.0.conv",
-                                f"down.{i}.downsample")
+                                f"down.{i}.downsample.conv")
             nk = nk.replace("mid_block.resnets.0.", "mid.block_1.")
             nk = nk.replace("mid_block.resnets.1.", "mid.block_2.")
             if "mid_block.attentions.0." in nk:

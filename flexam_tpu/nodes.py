@@ -75,12 +75,17 @@ class LoadFlexAMModel:
         from flexam_tpu.pipeline import (FlexAMGenerationPipeline,
                                          FlexAMModels)
 
+        # the selected config drives BOTH the random init and the
+        # checkpoint key-mapping geometry (a post-hoc cfg swap would
+        # load/init at the wrong shapes)
+        if random_init == "tiny":
+            cfg = config if config is not None else tiny_test_config()
+        else:
+            cfg = config if config is not None else WAN22_5B_FLEXAM
         if random_init is not None or not os.path.isdir(str(model)):
             from flexam_tpu.models.dit import init_dit_params
             from flexam_tpu.models.t5 import init_t5_params
             from flexam_tpu.models.vae import init_vae_params
-            cfg = (tiny_test_config() if random_init == "tiny"
-                   else WAN22_5B_FLEXAM)
             dtype = jnp.float32 if random_init == "tiny" else jnp.bfloat16
             k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
             models = FlexAMModels(
@@ -91,7 +96,6 @@ class LoadFlexAMModel:
             from flexam_tpu.io.checkpoints import (load_dit_checkpoint,
                                                    load_t5_checkpoint,
                                                    load_vae_checkpoint)
-            cfg = WAN22_5B_FLEXAM
             dit = load_dit_checkpoint(str(model), cfg.dit)
             models = FlexAMModels(
                 cfg=cfg, dit_params=dit,
@@ -100,8 +104,6 @@ class LoadFlexAMModel:
                 t5_params=load_t5_checkpoint(
                     os.path.join(model, "models_t5_umt5-xxl-enc-bf16.pth"),
                     cfg.t5))
-        if config is not None:
-            models.cfg = config
         if model_2 is not None:
             if os.path.isdir(str(model_2)):
                 from flexam_tpu.io.checkpoints import load_dit_checkpoint
@@ -264,39 +266,59 @@ class FlexAMV2VSampler:
         pipe = funmodels if funmodels is not None else flexam_model
         if validation_video is None:
             validation_video = original_video
-        camera_video = None
-        if camera_conditions:
-            # `camera_conditions` trajectory JSON -> Plucker camera video
-            # for the Control-Camera adapter; generation is driven by the
-            # camera alone (`wan2_2_fun_flexam/nodes.py:577-583`)
-            import json as _json
 
-            from flexam_tpu.conditioning.camera import process_pose_params
-            poses = _json.loads(camera_conditions)
-            cam_params = np.array([[float(x) for x in p] for p in poses])
-            cam_params = np.concatenate(
-                [np.zeros_like(cam_params[:, :1]), cam_params], 1)
-            if validation_video is not None:
-                ch, cw = self.snap_resolution(
-                    *np.asarray(validation_video).shape[-2:],
-                    base_resolution)
-            else:
-                ch, cw = self.snap_resolution(512, 896, base_resolution)
-            plucker = process_pose_params(cam_params, width=cw, height=ch)
-            camera_video = plucker[:video_length].transpose(3, 0, 1, 2)[None]
-            validation_video = np.zeros((1, 3, video_length, ch, cw),
-                                        np.float32)
-            mask_video = np.ones((1, 1, video_length, ch, cw), np.float32)
-            control_video = depth_video = cos_videos = None
+        def _pipe_video(x):
+            """Accept both the pipeline layout ([1,C,T,H,W]) and the
+            ComfyUI IMAGE convention ([T,H,W,C], C in {1,3})."""
+            if x is None:
+                return None
+            x = np.asarray(x, np.float32)
+            if x.ndim == 4 and x.shape[-1] in (1, 3):
+                x = x.transpose(3, 0, 1, 2)[None]
+            return x
+
+        validation_video = _pipe_video(validation_video)
+        control_video = _pipe_video(control_video)
+        depth_video = _pipe_video(depth_video)
+        mask_video = _pipe_video(mask_video)
         if cos_videos is None and cos_video0 is not None:
             cos_videos = [c for c in (cos_video0, cos_video1,
                                       cos_video2, cos_video3)
                           if c is not None]
+        if cos_videos is not None:
+            cos_videos = [_pipe_video(c) for c in cos_videos]
         if num_skip_start_steps is not None:
             teacache_skip_start = num_skip_start_steps
-        # teacache_offload / denoise_strength: graph parity only — the
-        # TPU TeaCache residual lives on device (no CUDA<->CPU offload)
-        # and the reference UI always calls with strength=1
+        # teacache_offload: graph parity only — the TPU TeaCache residual
+        # lives on device (no CUDA<->CPU offload)
+        if denoise_strength != 1.0:
+            print("WARNING: denoise_strength is accepted for graph "
+                  "parity but ignored (the reference declares it and "
+                  "never consumes it either; generation runs at "
+                  "strength 1.0)")
+        camera_video = None
+        if camera_conditions:
+            # `camera_conditions` trajectory JSON -> Plucker camera video
+            # for the Control-Camera adapter; generation is driven by the
+            # camera ALONE (`wan2_2_fun_flexam/nodes.py:577-583`)
+            from flexam_tpu.conditioning.camera import \
+                camera_inputs_from_trajectory
+            if not getattr(pipe.cfg.dit, "add_control_adapter", False):
+                raise ValueError(
+                    "camera_conditions needs a Control-Camera model "
+                    "(the selected config has add_control_adapter: "
+                    "false) — load a Camera-variant config/checkpoint "
+                    "or drive the camera through track editing "
+                    "(--camera_motion)")
+            if validation_video is not None:
+                ch, cw = self.snap_resolution(
+                    *validation_video.shape[-2:], base_resolution)
+            else:
+                ch, cw = self.snap_resolution(512, 896, base_resolution)
+            camera_video, validation_video, mask_video = \
+                camera_inputs_from_trajectory(camera_conditions,
+                                              video_length, ch, cw)
+            control_video = depth_video = cos_videos = None
         if validation_video is None and start_image is not None:
             # i2v-style seed: first frame(s) known, rest generated
             # (`get_image_to_video_latent`, utils.py:303-397)
@@ -318,10 +340,12 @@ class FlexAMV2VSampler:
                 mask[:, :, -e.shape[0]:] = 0.0
             if mask_video is None:
                 mask_video = mask
-        if riflex_k is not None and not enable_riflex:
-            # a linked RIFLEXT_ARGS input (FunRiflex node) enables riflex
+        if (riflex_k is not None and int(riflex_k) > 0
+                and not enable_riflex):
+            # a linked RIFLEXT_ARGS input (FunRiflex node) enables
+            # riflex; 0 = disabled, the reference convention
             enable_riflex, riflex_k = True, int(riflex_k)
-        elif riflex_k is None:
+        elif not riflex_k:
             riflex_k = 6
         merged_loras = []
         if loras:

@@ -983,8 +983,13 @@ class FlexAMGenerationPipeline:
         if camera_video is not None:
             # Plucker camera video [B, 6, T, H, W] -> the Control-Camera
             # adapter input (first-frame repeat + 4-frame channel fold,
-            # `pipeline_wan2_2_fun_control_FlexAM.py:697-707`); consumed
-            # by the DiT only when cfg.add_control_adapter is set
+            # `pipeline_wan2_2_fun_control_FlexAM.py:697-707`)
+            if not getattr(self.cfg.dit, "add_control_adapter", False):
+                raise ValueError(
+                    "camera_video given but this model config has no "
+                    "Control-Camera adapter (add_control_adapter is "
+                    "false) — the conditioning would be silently "
+                    "ignored; use a Camera-variant config")
             from flexam_tpu.conditioning.camera import fold_camera_video
             cond["y_camera"] = jnp.asarray(
                 fold_camera_video(np.asarray(camera_video, np.float32)),

@@ -171,28 +171,19 @@ class GenerationServer:
                 for o in payload["cos_videos"]]
         if payload.get("camera_conditions"):
             # Control-Camera path (the ComfyUI sampler's input,
-            # `wan2_2_fun_flexam/nodes.py:577-583`): trajectory JSON ->
-            # Plucker camera video; generation is camera-driven (any
-            # posted video supplies geometry/length only)
-            import json as _json
-
-            from flexam_tpu.conditioning.camera import process_pose_params
-            cc = payload["camera_conditions"]
-            poses = _json.loads(cc) if isinstance(cc, str) else cc
-            cam_params = np.array([[float(x) for x in p] for p in poses])
-            cam_params = np.concatenate(
-                [np.zeros_like(cam_params[:, :1]), cam_params], 1)
+            # `wan2_2_fun_flexam/nodes.py:577-583`): generation is
+            # camera-driven; a posted video supplies geometry/length only
+            from flexam_tpu.conditioning.camera import \
+                camera_inputs_from_trajectory
             if kwargs.get("video") is not None:
                 _, _, t, ch, cw = kwargs["video"].shape
             else:
                 t = int(payload.get("video_length", 49))
                 ch = int(payload.get("height", 512))
                 cw = int(payload.get("width", 896))
-            plucker = process_pose_params(cam_params, width=cw, height=ch)
-            kwargs["camera_video"] = \
-                plucker[:t].transpose(3, 0, 1, 2)[None]
-            kwargs["video"] = np.zeros((1, 3, t, ch, cw), np.float32)
-            kwargs["mask_video"] = np.ones((1, 1, t, ch, cw), np.float32)
+            (kwargs["camera_video"], kwargs["video"],
+             kwargs["mask_video"]) = camera_inputs_from_trajectory(
+                payload["camera_conditions"], t, ch, cw)
         for key in self.SCALAR_KEYS:
             if key in payload:
                 kwargs[key] = payload[key]

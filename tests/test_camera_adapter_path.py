@@ -120,6 +120,68 @@ def test_sampler_node_camera_conditions():
     assert out.ndim == 5 and np.isfinite(np.asarray(out)).all()
 
 
+def test_camera_refused_without_adapter():
+    """A model without the Control-Camera adapter must refuse camera
+    conditioning loudly (it would otherwise be silently ignored while
+    the video/mask/controls were already zeroed)."""
+    import jax
+
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import init_dit_params
+    from flexam_tpu.models.t5 import init_t5_params
+    from flexam_tpu.models.vae import init_vae_params
+    from flexam_tpu.nodes import FlexAMV2VSampler
+    from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
+
+    cfg = tiny_test_config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    pipe = FlexAMGenerationPipeline(FlexAMModels(
+        cfg=cfg, dit_params=init_dit_params(k1, cfg.dit,
+                                            dtype=jnp.float32),
+        vae_params=init_vae_params(k2, cfg.vae),
+        t5_params=init_t5_params(k3, cfg.t5)))
+    traj = json.dumps([[float(x) for x in r] for r in _pose_rows(9)])
+    with pytest.raises(ValueError, match="Control-Camera"):
+        FlexAMV2VSampler().process(
+            funmodels=pipe, prompt="x", video_length=9,
+            base_resolution=32, steps=1, cfg=1.0,
+            camera_conditions=traj)
+    with pytest.raises(ValueError, match="Control-Camera"):
+        pipe.generate(np.zeros((1, 3, 9, 32, 32), np.float32), "x",
+                      camera_video=np.zeros((1, 6, 9, 32, 32),
+                                            np.float32),
+                      num_inference_steps=1, guidance_scale=1.0)
+
+
+def test_sampler_comfyui_video_layout():
+    """original_video/control streams in the ComfyUI IMAGE convention
+    ([T,H,W,C]) are accepted and normalized."""
+    from flexam_tpu.nodes import FlexAMV2VSampler
+
+    pipe = _camera_pipe()
+    video_comfy = np.zeros((9, 32, 32, 3), np.float32)
+    mask_comfy = np.ones((9, 32, 32, 1), np.float32)
+    out, = FlexAMV2VSampler().process(
+        funmodels=pipe, prompt="x", original_video=video_comfy,
+        mask_video=mask_comfy, video_length=9, base_resolution=32,
+        steps=1, cfg=1.0)
+    assert np.asarray(out).shape[2] == 9
+
+
+def test_linked_riflex_zero_stays_off():
+    """riflex_k=0 over the RIFLEXT_ARGS link means DISABLED (the
+    reference convention); it must not rewrite the RoPE tables."""
+    from flexam_tpu.nodes import FlexAMV2VSampler
+
+    pipe = _camera_pipe()
+    base = np.asarray(pipe.rope_tables).copy()
+    video = np.zeros((1, 3, 9, 32, 32), np.float32)
+    FlexAMV2VSampler().process(
+        funmodels=pipe, prompt="x", original_video=video, video_length=9,
+        base_resolution=32, steps=1, cfg=1.0, riflex_k=0)
+    np.testing.assert_array_equal(np.asarray(pipe.rope_tables), base)
+
+
 def test_sampler_node_shift_boundary_accepted():
     from flexam_tpu.nodes import FlexAMV2VSampler
 

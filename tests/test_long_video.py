@@ -73,6 +73,15 @@ def test_final_window_anchors_for_exact_coverage():
     assert out.shape[2] == 97
     assert calls[-1] == (84, 13, 4)        # snap lands exactly -> verbatim
 
+    # single window, total under partial and not 4k+1: the window
+    # rounds UP to 4k+1 and trims, still delivering the advertised total
+    calls.clear()
+    out = generate_long_video(fake_window, total_frames=11,
+                              partial_video_length=21,
+                              overlap_video_length=4)
+    assert out.shape[2] == 11
+    assert calls == [(0, 13, None)]
+
 
 def test_long_video_with_real_pipeline():
     """Two overlapped windows through the actual tiny pipeline."""

@@ -253,6 +253,25 @@ def test_sampler_lora_input(tmp_path):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_loader_config_drives_geometry():
+    """The config input must shape what gets built — a post-hoc cfg swap
+    left params at the default geometry."""
+    import dataclasses
+
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.nodes import LoadFlexAMModel
+
+    tiny = tiny_test_config()
+    custom = dataclasses.replace(
+        tiny, dit=dataclasses.replace(tiny.dit, num_layers=3))
+    pipe, = LoadFlexAMModel().loadmodel(model="x", random_init="tiny",
+                                        config=custom)
+    assert pipe.cfg.dit.num_layers == 3
+    # the scan-stacked block params really carry 3 layers
+    leaf = pipe.models.dit_params["blocks"]["self_attn"]["q"]["weight"]
+    assert np.asarray(leaf).shape[0] == 3
+
+
 def test_every_node_satisfies_comfyui_protocol():
     """ComfyUI's loader requires INPUT_TYPES/RETURN_TYPES/FUNCTION/
     CATEGORY on every node class, and calls FUNCTION with every input as

@@ -58,6 +58,12 @@ def test_loader_reports_missing():
     params, _, rep = clip_vision_params_from_hf(sd, num_heads=2)
     assert params == {} and rep["missed"]
 
+    # attention weights present but biases pruned: report, don't crash
+    sd = {k: v.numpy() for k, v in model.state_dict().items()
+          if not ("self_attn" in k and k.endswith(".bias"))}
+    params, _, rep = clip_vision_params_from_hf(sd, num_heads=2)
+    assert params == {} and rep["missed"]
+
 
 def test_depthcrafter_clip_wiring(tmp_path):
     """load_depthcrafter_denoiser(clip=...) runs the native tower."""

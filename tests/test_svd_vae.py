@@ -78,6 +78,81 @@ def test_loader_round_trip_and_gating():
     assert enc.shape == (2, 8, 8, 4)
 
 
+def test_loader_accepts_diffusers_naming():
+    """The video release ships diffusers naming; translate + load must
+    reach 100% coverage and reproduce the CompVis-named load exactly.
+    The diffusers keys are written out LITERALLY here (a synthesized
+    inverse rename once hid a symmetric translation bug: downsamplers
+    map to down.N.downsample.conv, not down.N.downsample)."""
+    from flexam_tpu.models.flux_vae import (flux_vae_params_to_state_dict,
+                                            init_flux_vae_params)
+    from flexam_tpu.models.svd_unet import _flatten
+
+    img = init_flux_vae_params(jax.random.PRNGKey(20), ENC_CFG)
+    sd = {k: v for k, v in flux_vae_params_to_state_dict(
+        img, ENC_CFG).items() if k.startswith("encoder.")}
+    dec = init_temporal_decoder_params(jax.random.PRNGKey(21), CFG)
+    for ours, val in _flatten(dec).items():
+        v = np.asarray(val)
+        if v.ndim == 4:
+            v = v.transpose(3, 2, 0, 1)
+        elif v.ndim == 5:
+            v = v.transpose(4, 3, 0, 1, 2)
+        sd[f"decoder.{ours}"] = v
+    sd["quant_conv.weight"] = np.eye(8, dtype=np.float32
+                                     ).reshape(8, 8, 1, 1)
+    sd["quant_conv.bias"] = np.zeros((8,), np.float32)
+
+    # rewrite to the REAL diffusers key spellings
+    attn_inv = {"q": "to_q", "k": "to_k", "v": "to_v",
+                "proj_out": "to_out.0", "norm": "group_norm"}
+    dsd = {}
+    for k, v in sd.items():
+        nk = k
+        if k.startswith("encoder."):
+            nk = nk.replace(".norm_out.", ".conv_norm_out.")
+            for i in range(len(ENC_CFG.ch_mult)):
+                nk = nk.replace(f"down.{i}.block.",
+                                f"down_blocks.{i}.resnets.")
+                nk = nk.replace(f"down.{i}.downsample.conv.",
+                                f"down_blocks.{i}.downsamplers.0.conv.")
+            nk = nk.replace("mid.block_1.", "mid_block.resnets.0.")
+            nk = nk.replace("mid.block_2.", "mid_block.resnets.1.")
+            for a, b in attn_inv.items():
+                nk = nk.replace(f"mid.attn_1.{a}.",
+                                f"mid_block.attentions.0.{b}.")
+            nk = nk.replace(".nin_shortcut.", ".conv_shortcut.")
+        if k.startswith("decoder.mid_block.attentions.0."):
+            for a, b in attn_inv.items():
+                nk = nk.replace(f"attentions.0.{a}.",
+                                f"attentions.0.{b}.")
+        v = np.asarray(v)
+        if (any(t in nk for t in ("to_q", "to_k", "to_v", "to_out"))
+                and nk.endswith(".weight") and v.ndim == 4
+                and v.shape[2] == v.shape[3] == 1):
+            v = v[:, :, 0, 0]           # diffusers ships Linears here
+        dsd[nk] = v
+    # no CompVis-era spellings may survive the rewrite
+    assert not any(".downsample." in k or ".attn_1." in k
+                   or ".block_1." in k for k in dsd
+                   if k.startswith("encoder.")), \
+        [k for k in dsd if ".downsample." in k][:3]
+
+    params, report = svd_vae_params_from_state_dict(dsd, ENC_CFG, CFG)
+    assert not report["missed"], report["missed"][:8]
+    assert not report["unused"], report["unused"][:8]
+
+    x = jnp.asarray(np.random.default_rng(22).uniform(
+        -1, 1, (2, 16, 16, 3)), jnp.float32)
+    compvis, _ = svd_vae_params_from_state_dict(sd, ENC_CFG, CFG)
+    a = svd_vae_encode(jax.tree_util.tree_map(jnp.asarray, compvis),
+                       ENC_CFG, x)
+    b = svd_vae_encode(jax.tree_util.tree_map(jnp.asarray, params),
+                       ENC_CFG, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_loader_autodetects_temporal_vae(tmp_path):
     """load_depthcrafter_denoiser picks the temporal decoder when the
     VAE file carries decoder.time_conv_out (the video-release layout)."""
