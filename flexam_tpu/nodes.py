@@ -432,22 +432,35 @@ class FlexAMV2VSampler:
 
 class FunAttention:
     """`FunAttention` (`comfyui_nodes.py:102-125`): attention backend
-    switch — sets FLEXAM_ATTENTION (our VIDEOX_ATTENTION_TYPE)."""
+    switch — sets FLEXAM_ATTENTION (our VIDEOX_ATTENTION_TYPE). Like
+    the reference, the node is a funmodels pass-through so it can sit
+    on the model link; the reference names (flash/sage/torch) map onto
+    the TPU kernels alongside the native names."""
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {"required": {"attention_type": (["pallas", "pallas_int8",
-                                                 "sparse", "xla"],)}}
+        return {"required": {
+            "attention_type": (["flash", "sage", "torch", "pallas",
+                                "pallas_int8", "sparse", "xla"],
+                               {"default": "flash"}),
+        }, "optional": {"funmodels": ("FunModels",)}}
 
-    RETURN_TYPES = ("STRING",)
+    RETURN_TYPES = ("FunModels",)
+    RETURN_NAMES = ("funmodels",)
     FUNCTION = "process"
     CATEGORY = "FlexAM-TPU"
 
-    def process(self, attention_type):
-        os.environ["FLEXAM_ATTENTION"] = attention_type
+    # `core/attention.py` accepts the reference spellings directly;
+    # this table only documents the kernel each maps to
+    REFERENCE_NAMES = {"flash": "pallas", "sage": "pallas_int8",
+                       "torch": "xla"}
+
+    def process(self, attention_type, funmodels=None):
+        os.environ["FLEXAM_ATTENTION"] = self.REFERENCE_NAMES.get(
+            attention_type, attention_type)
         from flexam_tpu.core.attention import _default_backend
         _default_backend.cache_clear()
-        return (attention_type,)
+        return (funmodels,)
 
 
 # the reference's sampler/annotator generate-type names map onto the
