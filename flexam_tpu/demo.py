@@ -139,7 +139,7 @@ def _build_models(args):
         tokenizer = AutoTokenizer.from_pretrained(
             os.path.join(args.checkpoint_path, "google/umt5-xxl"))
         models = FlexAMModels(cfg=cfg, dit_params=dit, vae_params=vae,
-                              t5_params=t5)
+                              t5_params=t5, t5_from_checkpoint=True)
         return FlexAMGenerationPipeline(models, tokenizer=tokenizer)
 
     cfg = tiny_test_config() if args.random_init == "tiny" else WAN22_5B_FLEXAM

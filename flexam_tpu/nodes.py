@@ -103,7 +103,8 @@ class LoadFlexAMModel:
                     os.path.join(model, "Wan2.2_VAE.pth"), cfg.vae),
                 t5_params=load_t5_checkpoint(
                     os.path.join(model, "models_t5_umt5-xxl-enc-bf16.pth"),
-                    cfg.t5))
+                    cfg.t5),
+                t5_from_checkpoint=True)
         if model_2 is not None:
             if os.path.isdir(str(model_2)):
                 from flexam_tpu.io.checkpoints import load_dit_checkpoint
@@ -121,7 +122,16 @@ class LoadFlexAMModel:
             if models.dit2_params is not None:
                 models.dit2_params = convert_weights_to_fp8(
                     models.dit2_params)
-        pipe = FlexAMGenerationPipeline(models)
+        tokenizer = None
+        if models.t5_from_checkpoint:
+            # checkpoint-loaded T5 MUST pair with its tokenizer — hashed
+            # prompt ids through trained embeddings silently ignore the
+            # prompt (tokenize() refuses that combination). The reference
+            # layout ships the tokenizer under google/umt5-xxl.
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(
+                os.path.join(str(model), "google", "umt5-xxl"))
+        pipe = FlexAMGenerationPipeline(models, tokenizer=tokenizer)
         # cpu-offload / sequential modes: generate() round-trips the DiT
         # to host RAM around the VAE decode automatically (pipeline.py);
         # the mode string is kept for graph parity

@@ -27,6 +27,7 @@ before tracing, so the compiled graphs are static.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -113,12 +114,19 @@ def group_mask_to_latent_channels(mask: jnp.ndarray) -> jnp.ndarray:
 
 @dataclasses.dataclass
 class FlexAMModels:
-    """Parameter bundle for one generation setup."""
+    """Parameter bundle for one generation setup.
+
+    `t5_from_checkpoint` records loader provenance: True means t5_params
+    came from a real checkpoint file, in which case running without the
+    matching tokenizer would silently condition generation on garbage —
+    `tokenize()` refuses that combination loudly (verify_load philosophy:
+    never serve scrambled conditioning quietly)."""
     cfg: FlexAMConfig
     dit_params: dict
     vae_params: dict
     t5_params: Optional[dict] = None
     dit2_params: Optional[dict] = None   # high-noise expert (timestep MoE)
+    t5_from_checkpoint: bool = False
 
 
 # `pipelines.py:1170` — the reference's hardcoded default negative prompt.
@@ -191,9 +199,22 @@ class FlexAMGenerationPipeline:
     def tokenize(self, prompts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         """umT5 tokenization, max_length pad/truncate to text_length
         (`pipeline...FlexAM.py:205-213`). Without a tokenizer (random-init
-        smoke runs) prompts hash to deterministic ids."""
+        smoke runs) prompts hash to deterministic ids — but NEVER when the
+        T5 weights came from a real checkpoint: hashed ids through trained
+        embeddings are garbage conditioning, and generation would silently
+        ignore the prompt. FLEXAM_ALLOW_HASHED_IDS=1 overrides (debug)."""
         tl = self.cfg.t5.text_length
         if self.tokenizer is None:
+            if (getattr(self.models, "t5_from_checkpoint", False)
+                    and os.environ.get("FLEXAM_ALLOW_HASHED_IDS") != "1"):
+                raise RuntimeError(
+                    "T5 weights were loaded from a checkpoint but no "
+                    "tokenizer is attached: hashed prompt ids would run "
+                    "trained weights on garbage token ids and the output "
+                    "would silently ignore the prompt. Pass tokenizer= to "
+                    "FlexAMGenerationPipeline (AutoTokenizer.from_pretrained"
+                    "(<ckpt>/google/umt5-xxl)), or set "
+                    "FLEXAM_ALLOW_HASHED_IDS=1 to override for debugging.")
             ids = np.zeros((len(prompts), tl), np.int32)
             for i, p in enumerate(prompts):
                 raw = np.frombuffer(p.encode()[:tl] or b"\x01",

@@ -76,7 +76,12 @@ class FluxDepthRepainter:
                  t5_cfg: T5Config = FLUX_T5_CONFIG,
                  clip_cfg: CLIPTextConfig = CLIPTextConfig(),
                  t5_tokenizer=None, clip_tokenizer=None,
-                 dtype=jnp.bfloat16, steps_per_launch: int = 10):
+                 dtype=jnp.bfloat16, steps_per_launch: int = 10,
+                 text_from_checkpoint: bool = False):
+        # text_from_checkpoint: loader provenance — True means the text
+        # towers hold REAL weights, so hashed prompt ids are refused in
+        # encode_text (they would silently ignore the prompt).
+        self.text_from_checkpoint = text_from_checkpoint
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype), params)
         self.vae_params = jax.tree_util.tree_map(
@@ -99,9 +104,23 @@ class FluxDepthRepainter:
         ids[0, :len(raw)] = raw % max(vocab, 2)
         return ids
 
+    def _refuse_hashed(self, tower: str):
+        import os
+        if (self.text_from_checkpoint
+                and os.environ.get("FLEXAM_ALLOW_HASHED_IDS") != "1"):
+            raise RuntimeError(
+                f"FLUX {tower} weights were loaded from a checkpoint but "
+                f"no {tower} tokenizer is attached: hashed prompt ids "
+                "through trained embeddings are garbage conditioning. "
+                "Pass the tokenizer (FLEXAM_FLUX_T5_TOKENIZER / "
+                "FLEXAM_FLUX_CLIP_TOKENIZER point at HF tokenizer dirs) "
+                "or set FLEXAM_ALLOW_HASHED_IDS=1 to override (debug).")
+
     def encode_text(self, prompt: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(T5 features [1, L, context_dim], CLIP pooled [1, vec_dim])."""
         if self.t5_params is not None:
+            if self.t5_tokenizer is None:
+                self._refuse_hashed("T5")
             if self.t5_tokenizer is not None:
                 enc = self.t5_tokenizer(
                     [prompt], padding="max_length", truncation=True,
@@ -118,6 +137,8 @@ class FluxDepthRepainter:
             txt = jnp.asarray(rng.standard_normal(
                 (1, 64, self.cfg.context_dim)), jnp.float32)
         if self.clip_params is not None:
+            if self.clip_tokenizer is None:
+                self._refuse_hashed("CLIP")
             if self.clip_tokenizer is not None:
                 enc = self.clip_tokenizer(
                     [prompt], padding="max_length", truncation=True,
@@ -263,6 +284,7 @@ def load_flux_repainter(ckpt: Optional[str] = None,
     check_mapping(vrep, f"flux-ae:{os.path.basename(ae)}",
                   threshold=coverage_threshold, strict=True)
     t5_params = clip_params = None
+    t5_tok = clip_tok = None
     if t5:
         t5_params = t5_params_from_hf_state_dict(
             _load_one(t5), FLUX_T5_CONFIG, dtype=np.float32)
@@ -273,8 +295,20 @@ def load_flux_repainter(ckpt: Optional[str] = None,
             _load_one(clip), CLIPTextConfig())
         clip_params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype), clip_params)
+    # real text weights demand real tokenizers (encode_text refuses the
+    # hashed-id fallback when text_from_checkpoint is set)
+    t5_tok_dir = os.environ.get("FLEXAM_FLUX_T5_TOKENIZER")
+    clip_tok_dir = os.environ.get("FLEXAM_FLUX_CLIP_TOKENIZER")
+    if t5_params is not None and t5_tok_dir:
+        from transformers import AutoTokenizer
+        t5_tok = AutoTokenizer.from_pretrained(t5_tok_dir)
+    if clip_params is not None and clip_tok_dir:
+        from transformers import AutoTokenizer
+        clip_tok = AutoTokenizer.from_pretrained(clip_tok_dir)
     return FluxDepthRepainter(params, vae_params, t5_params, clip_params,
-                              cfg=cfg, vae_cfg=vae_cfg, dtype=dtype)
+                              cfg=cfg, vae_cfg=vae_cfg, dtype=dtype,
+                              t5_tokenizer=t5_tok, clip_tokenizer=clip_tok,
+                              text_from_checkpoint=bool(t5 or clip))
 
 
 def make_tiny_repainter(seed: int = 0,

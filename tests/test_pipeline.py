@@ -345,3 +345,43 @@ def test_save_video_yuv420(tmp_path):
     out = save_video_yuv420(luma, uv, str(tmp_path / "v.mp4"), fps=8)
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_hashed_ids_refused_with_checkpoint_t5(pipe, monkeypatch):
+    """VERDICT r3 item 5: checkpoint-loaded T5 + missing tokenizer must
+    refuse the hashed-id fallback loudly (silent garbage conditioning);
+    FLEXAM_ALLOW_HASHED_IDS=1 overrides for debugging."""
+    monkeypatch.delenv("FLEXAM_ALLOW_HASHED_IDS", raising=False)
+    monkeypatch.setattr(pipe.models, "t5_from_checkpoint", True)
+    assert pipe.tokenizer is None
+    with pytest.raises(RuntimeError, match="tokenizer"):
+        pipe.tokenize(["a prompt"])
+    monkeypatch.setenv("FLEXAM_ALLOW_HASHED_IDS", "1")
+    ids, mask = pipe.tokenize(["a prompt"])
+    assert ids.shape[1] == pipe.cfg.t5.text_length
+    # random-init provenance (the default) keeps the smoke path working
+    monkeypatch.delenv("FLEXAM_ALLOW_HASHED_IDS", raising=False)
+    monkeypatch.setattr(pipe.models, "t5_from_checkpoint", False)
+    ids2, _ = pipe.tokenize(["a prompt"])
+    assert np.array_equal(ids, ids2)
+
+
+def test_flux_hashed_ids_refused_with_checkpoint_text(monkeypatch):
+    """Same refusal on the FLUX repainter's text towers."""
+    from flexam_tpu.repaint_flux import make_tiny_repainter
+    monkeypatch.delenv("FLEXAM_ALLOW_HASHED_IDS", raising=False)
+    rep = make_tiny_repainter()
+    # tiny repainter has no text towers at all: pseudo-features path OK
+    txt, pooled = rep.encode_text("hello")
+    assert txt.shape[0] == 1 and pooled.shape[0] == 1
+    # simulate real-weight provenance with a T5 tower and no tokenizer
+    from flexam_tpu.models.t5 import init_t5_params
+    import flexam_tpu.repaint_flux as rf
+    tiny_t5 = rf.T5Config(vocab=64, dim=8, dim_attn=8, dim_ffn=16,
+                          num_heads=2, num_layers=1, num_buckets=8,
+                          shared_pos=True, text_length=16)
+    rep.t5_params = init_t5_params(jax.random.PRNGKey(0), tiny_t5)
+    rep.t5_cfg = tiny_t5
+    rep.text_from_checkpoint = True
+    with pytest.raises(RuntimeError, match="tokenizer"):
+        rep.encode_text("hello")
