@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flexam_tpu.ops.pallas_util import out_sds as _out_sds
+
 _NEG_INF = -1e30
 
 
@@ -60,9 +62,14 @@ def _flash_kernel(
 
     # log2(e) folded into the softmax scale so exp2 (the native VPU
     # transcendental) replaces exp — exact: exp2(x*log2e) == exp(x)
+    # precision pinned to DEFAULT: the global jax_default_matmul_precision
+    # ("highest" in test/debug setups) otherwise leaks into the kernel as
+    # contract_precision<fp32> on bf16 operands, which Mosaic rejects on
+    # v5e ("Bad lhs type" — found by the topology-AOT compile)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) * (scale * 1.4426950408889634)                   # [BLQ, BLK]
 
     if masked:   # static: skipped entirely when tiling is exact & no k_len
@@ -81,6 +88,7 @@ def _flash_kernel(
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )                                                  # [BLQ, D]
     acc_ref[:] = acc_ref[:] * alpha + pv
 
@@ -101,6 +109,7 @@ def _single_kv_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, *,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) * (scale * 1.4426950408889634)
     if masked:
         k_len = klen_ref[b]
@@ -111,7 +120,8 @@ def _single_kv_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref, *,
     l = jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
 
 
@@ -155,7 +165,7 @@ def _flash_bhld(q, k, v, k_len, scale, blq, blk, masked, interpret=False):
                 out_specs=pl.BlockSpec((1, 1, blq, D),
                                        lambda b, h, i, kl: (b, h, i, 0)),
             ),
-            out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+            out_shape=_out_sds((B, H, Lq, D), q.dtype, q),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -188,7 +198,7 @@ def _flash_bhld(q, k, v, k_len, scale, blq, blk, masked, interpret=False):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+        out_shape=_out_sds((B, H, Lq, D), q.dtype, q),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # kv axis is a sequential reduction; the rest parallel — the

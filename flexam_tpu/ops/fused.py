@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flexam_tpu.ops.pallas_util import out_sds as _out_sds
+
 
 def fused_enabled() -> bool:
     """Pallas elementwise fusions run on real TPU unless FLEXAM_FUSED
@@ -50,6 +52,14 @@ def fused_enabled() -> bool:
     env = os.environ.get("FLEXAM_FUSED")
     if env is not None:
         return env == "1"
+    if _multichip_mesh_active():
+        # GSPMD cannot auto-partition Mosaic custom calls ("Mosaic
+        # kernels cannot be automatically partitioned") — under a
+        # multi-device activation mesh these single-chip elementwise
+        # kernels must stand down and the XLA path takes over (found by
+        # the round-4 v5e-8 topology-AOT of the sharded 5B step; the
+        # CPU dryrun never hit it because fused is off-platform there)
+        return False
     try:
         if jax.devices()[0].platform != "tpu":
             return False
@@ -67,6 +77,17 @@ def fused_enabled() -> bool:
             return _fused_compiles()
         return True
     return _fused_compiles()
+
+
+def _multichip_mesh_active() -> bool:
+    """True when `parallel.activation_sharding` holds a >1-device mesh
+    (the sharded-inference/training paths)."""
+    try:
+        from flexam_tpu.parallel import sharding as _sh
+        mesh = _sh._ACTIVE_MESH
+        return mesh is not None and mesh.size > 1
+    except Exception:
+        return False
 
 
 @functools.lru_cache(maxsize=1)
@@ -223,7 +244,7 @@ def _rmsnorm_rope_call_2d(x, gamma, cfull, sfull, heads, eps, interpret):
         ],
         out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_p, d), x.dtype),
+        out_shape=_out_sds((b, s_p, d), x.dtype, x),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -261,7 +282,7 @@ def _rmsnorm_rope_call(x, gamma, cfull, sfull, heads, eps, interpret):
         out_specs=pl.BlockSpec((1, bs, heads, dh),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_p, heads, dh), x.dtype),
+        out_shape=_out_sds((b, s_p, heads, dh), x.dtype, x),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -370,7 +391,7 @@ def _ln_mod_binary_call(x, shift_pair, scale_pair, mask, eps, interpret):
         ],
         out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_p, d), x.dtype),
+        out_shape=_out_sds((b, s_p, d), x.dtype, x),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -399,7 +420,7 @@ def _ln_mod_bcast_call(x, shift, scale, eps, interpret):
         ],
         out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_p, d), x.dtype),
+        out_shape=_out_sds((b, s_p, d), x.dtype, x),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flexam_tpu.ops.pallas_util import out_sds as _out_sds
+
 from flexam_tpu.ops.flash_attention import _auto_block, _ceil_to
 
 _NEG_INF = -1e30
@@ -57,7 +59,8 @@ def _int8_flash_kernel(klen_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref, o_ref,
 
     s_i32 = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
     # dequant = one scalar: per-block q/k scales * softmax scale * log2e
     deq = qs_ref[b, h, i] * ks_ref[b, h, j] * (scale * _LOG2E)
     s = s_i32.astype(jnp.float32) * deq
@@ -76,7 +79,8 @@ def _int8_flash_kernel(klen_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref, o_ref,
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     acc_ref[:] = acc_ref[:] * alpha + pv
 
     @pl.when(j == nk - 1)
@@ -127,7 +131,7 @@ def _int8_flash_bhld(q, k, v, k_len, scale, blq, blk, masked,
                                masked=masked)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), v.dtype),
+        out_shape=_out_sds((B, H, Lq, D), v.dtype, v),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",

@@ -44,6 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flexam_tpu.ops.pallas_util import out_sds as _out_sds
+
 _NEG_INF = -1e30
 
 
@@ -146,6 +148,7 @@ def _sparse_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * (scale * 1.4426950408889634)               # exp2-domain logits
 
         m_prev = m_ref[:, :1]
@@ -158,6 +161,7 @@ def _sparse_kernel(
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         acc_ref[:] = acc_ref[:] * alpha + pv
 
@@ -198,7 +202,7 @@ def _sparse_bhld(q, k, v, kidx, nnz, scale, blk, total, interpret=False):
     return pl.pallas_call(
         functools.partial(_sparse_kernel, scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+        out_shape=_out_sds((B, H, L, D), q.dtype, q),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",

@@ -1,0 +1,50 @@
+"""Topology-AOT of the sharded denoise step (VERDICT r3 item 8): the
+compile-only PJRT TPU client must accept the dp2 x sp4 GSPMD program WITH
+the Pallas flash-attention kernel inside the Ulysses shard_map — proof
+the Mosaic+GSPMD path compiles for a real multi-chip TPU target without
+multi-chip hardware. The full-5B variant (~36 s compile, 21 MiB
+serialized) runs via `python -m flexam_tpu.tools.topology_aot`; the test
+uses the reduced-width flagship-token-geometry variant (~35 s)."""
+
+import pytest
+
+
+def test_aot_compiles_sharded_step_for_v5e8(tmp_path):
+    try:
+        from jax.experimental import topologies
+        topologies.get_topology_desc("v5e:2x4", "tpu")
+    except Exception as e:                       # pragma: no cover - env
+        pytest.skip(f"no compile-only TPU client here: {e}")
+
+    from flexam_tpu.tools.topology_aot import aot_compile_denoise_step
+
+    blob = tmp_path / "step.exe"
+    res = aot_compile_denoise_step(full_5b=False,
+                                   serialize_to=str(blob))
+    assert res["code_bytes"] > 0
+    assert res["serialized_bytes"] > 1_000_000
+    assert blob.stat().st_size == res["serialized_bytes"]
+
+
+def test_fused_kernels_stand_down_under_mesh(monkeypatch):
+    """GSPMD cannot auto-partition Mosaic custom calls: under a
+    multi-device activation mesh the fused elementwise kernels must
+    disable themselves (found by the v5e-8 topology AOT)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from flexam_tpu.ops import fused
+    from flexam_tpu.parallel.sharding import activation_sharding
+
+    monkeypatch.delenv("FLEXAM_FUSED", raising=False)
+    devs = np.asarray(jax.devices()[:1])
+    if len(jax.devices()) >= 2:
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1, 1),
+                    ("dp", "sp", "tp"))
+        with activation_sharding(mesh):
+            assert fused.fused_enabled() is False
+    # single-device mesh does not disable (no partitioning needed)
+    mesh1 = Mesh(devs.reshape(1, 1, 1), ("dp", "sp", "tp"))
+    with activation_sharding(mesh1):
+        assert fused._multichip_mesh_active() is False
