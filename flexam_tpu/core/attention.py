@@ -68,19 +68,31 @@ def xla_attention(
     return out.astype(q.dtype)
 
 
+# int8 QK^T pays once the logits matmul dominates: measured on v5e
+# (BASELINE.md round 3) 1.00x at the flagship 11,648 tokens, 1.06x at
+# 23,296, 1.08x at 34,944 — the RIFLEx/long-video regime. Above this
+# many self-attention tokens the AUTO default upgrades pallas ->
+# pallas_int8 (VERDICT r3 item 7). Accuracy: per-block int8 scales keep
+# attention output rel-err ~1e-2 (tests/test_attention.py int8 rows);
+# FLEXAM_INT8_AUTO=0 opts out, any explicit FLEXAM_ATTENTION choice wins.
+INT8_AUTO_MIN_TOKENS = 23296
+
+
 @functools.lru_cache(maxsize=1)
-def _default_backend() -> str:
+def _backend_choice() -> tuple:
+    """(backend, explicit): `explicit` marks a user-forced selection —
+    the long-sequence int8 auto-upgrade only applies to the auto default."""
     env = (os.environ.get("FLEXAM_ATTENTION")
            or os.environ.get("VIDEOX_ATTENTION_TYPE", "")).lower()
     if env in ("pallas", "xla", "pallas_int8"):
-        return env
+        return env, True
     # reference names accepted for drop-in parity (`attention_utils.py:191`)
     if env in ("flash_attn_3", "flash_attn_2", "flash"):
-        return "pallas"
+        return "pallas", True
     if env in ("sage", "sageattn"):
-        return "pallas_int8"
+        return "pallas_int8", True
     if env == "torch_sdpa":
-        return "xla"
+        return "xla", True
     # "sparse" selects the block-sparse VIDEO kernel at the pipeline
     # level (`pipeline._resolve_attn_fn` — it needs the latent geometry);
     # generic calls under the same env, including the sparse closure's
@@ -89,7 +101,30 @@ def _default_backend() -> str:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    return "pallas" if platform == "tpu" else "xla"
+    return ("pallas" if platform == "tpu" else "xla"), False
+
+
+def _default_backend() -> str:
+    return _backend_choice()[0]
+
+
+# callers re-resolve after mutating FLEXAM_ATTENTION (nodes.py FunAttention)
+_default_backend.cache_clear = _backend_choice.cache_clear
+
+
+def resolve_backend(lq: int, lk: int,
+                    backend: Optional[str] = None) -> str:
+    """Final backend for one call: an explicit arg or env choice wins;
+    the auto 'pallas' default upgrades to int8 for long self-attention
+    (>= INT8_AUTO_MIN_TOKENS, the measured win regime)."""
+    if backend is not None:
+        return backend
+    backend, explicit = _backend_choice()
+    if (not explicit and backend == "pallas" and lq == lk
+            and lq >= INT8_AUTO_MIN_TOKENS
+            and os.environ.get("FLEXAM_INT8_AUTO", "1") != "0"):
+        return "pallas_int8"
+    return backend
 
 
 def attention(
@@ -101,7 +136,7 @@ def attention(
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
     """Dispatching attention over [B, L, H, D] tensors."""
-    backend = backend or _default_backend()
+    backend = resolve_backend(q.shape[1], k.shape[1], backend)
     if backend == "pallas_int8":
         from flexam_tpu.ops.int8_attention import int8_flash_attention
 

@@ -112,7 +112,14 @@ def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
 
 
 def linear(x: jnp.ndarray, params: dict, precision=None) -> jnp.ndarray:
-    """y = x @ W^T + b with torch Linear weight layout W: [out, in]."""
+    """y = x @ W^T + b with torch Linear weight layout W: [out, in].
+
+    Params holding {"weight_q", "w_scale"} (see `ops/qlinear.py`) take the
+    int8 dynamic-quantized path — 2x MXU rate on v5e, opt-in via
+    `convert_dit_to_int8`."""
+    if "weight_q" in params:
+        from flexam_tpu.ops.qlinear import qlinear
+        return qlinear(x, params)
     y = jnp.matmul(x, params["weight"].astype(x.dtype).T, precision=precision)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(x.dtype)

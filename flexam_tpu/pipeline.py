@@ -145,12 +145,27 @@ class FlexAMGenerationPipeline:
     this class only resolves static structure host-side."""
 
     def __init__(self, models: FlexAMModels, tokenizer=None,
-                 compute_dtype=jnp.bfloat16, attn_fn=None):
+                 compute_dtype=jnp.bfloat16, attn_fn=None,
+                 quant: Optional[str] = None):
         self.models = models
         self.cfg = models.cfg
         self.tokenizer = tokenizer
         self.compute_dtype = compute_dtype
         self.attn_fn = attn_fn or default_attention
+        # opt-in int8 block GEMMs (ops/qlinear.py): 1.5-1.77x the bf16 MXU
+        # rate at flagship shapes, approximate (per-token dynamic scales).
+        # quant="int8" or FLEXAM_QUANT=int8; applied to both DiT experts.
+        quant = quant if quant is not None else os.environ.get(
+            "FLEXAM_QUANT", "")
+        if quant == "int8":
+            from flexam_tpu.ops.qlinear import convert_dit_to_int8
+            if models.dit_params is not None:
+                models.dit_params = convert_dit_to_int8(models.dit_params)
+            if models.dit2_params is not None:
+                models.dit2_params = convert_dit_to_int8(models.dit2_params)
+        elif quant not in ("", "none"):
+            raise ValueError(f"unknown quant mode {quant!r} "
+                             "(supported: 'int8')")
         self.rope_tables = jnp.asarray(
             make_rope_tables_for(models.cfg.dit), jnp.float32)
         self.last_link_probe = None     # utils.linkprobe result

@@ -79,3 +79,34 @@ def test_int8_attention_close_to_xla():
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True))
     rel = np.abs(out - ref).mean() / np.abs(ref).mean()
     assert rel < 0.02, rel
+
+
+def test_int8_auto_selects_in_riflex_regime(monkeypatch):
+    """VERDICT r3 item 7: the AUTO pallas default upgrades to int8 QK^T
+    for long self-attention (>= 23,296 tokens, the measured win regime:
+    1.06x @23k, 1.08x @35k vs 1.00x @11.6k) — never when the user chose a
+    backend explicitly, never for cross-attention, and FLEXAM_INT8_AUTO=0
+    opts out."""
+    import flexam_tpu.core.attention as A
+
+    monkeypatch.delenv("FLEXAM_INT8_AUTO", raising=False)
+    monkeypatch.setattr(A, "_backend_choice", lambda: ("pallas", False))
+    L = A.INT8_AUTO_MIN_TOKENS
+    assert A.resolve_backend(L, L) == "pallas_int8"
+    assert A.resolve_backend(L + 448, L + 448) == "pallas_int8"
+    # below the measured threshold: stay bf16 dense
+    assert A.resolve_backend(11648, 11648) == "pallas"
+    # cross-attention (kv = text tokens) never auto-upgrades
+    assert A.resolve_backend(L, 512) == "pallas"
+    # explicit user choices always win
+    assert A.resolve_backend(L, L, backend="pallas") == "pallas"
+    monkeypatch.setattr(A, "_backend_choice", lambda: ("pallas", True))
+    assert A.resolve_backend(L, L) == "pallas"
+    # opt-out env
+    monkeypatch.setattr(A, "_backend_choice", lambda: ("pallas", False))
+    monkeypatch.setenv("FLEXAM_INT8_AUTO", "0")
+    assert A.resolve_backend(L, L) == "pallas"
+    # CPU/xla default untouched
+    monkeypatch.delenv("FLEXAM_INT8_AUTO", raising=False)
+    monkeypatch.setattr(A, "_backend_choice", lambda: ("xla", False))
+    assert A.resolve_backend(L, L) == "xla"
