@@ -21,8 +21,9 @@ Scheme (the SmoothQuant/SageAttention dynamic-activation recipe):
 This is an OPT-IN approximation mode like the sparse attention kernel:
 per-token dynamic scales keep the relative error ~1e-2 on the linears
 (tests/test_qlinear.py pins the bound); the end-to-end quality cost on a
-TRAINED checkpoint is measured alongside the sparse bound in
-tests/test_sparse_quality.py / BASELINE.md.
+TRAINED checkpoint is near-transparent — 64 dB PSNR / SSIM 1.000 vs the
+fp32 output, control adherence unchanged (tests/test_sparse_quality.py,
+BASELINE.md round 4).
 
 Behavioral counterpart in the reference: the paifuser fp8 linear patches
 (`FlexAM/models/__init__.py:23-103`) — same "quantize the block GEMMs,

@@ -31,6 +31,12 @@ Opt-in (inference path), like the reference's paifuser gate:
 `make_sparse_attn_fn(...)` as the pipeline's `attn_fn`. Calls whose
 shape does not match the captured video geometry (cross-attention,
 non-video streams) fall through to the dense kernels unchanged.
+
+The mask is NOT output-equivalent to dense attention; its measured
+quality cost on a trained checkpoint (tests/test_sparse_quality.py,
+BASELINE.md round 4) is 63 dB PSNR / SSIM 1.000 vs dense at the default
+w=2, 41 dB / 0.997 at w=1, 38 dB / 0.994 at w=0 — all inside the
+control-adherence gate. Recommended minimum window: 1.
 """
 
 from __future__ import annotations
@@ -252,6 +258,42 @@ def sparse_flash_attention(
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+def masked_dense_attention(
+    q: jnp.ndarray,                    # [B, L, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rows: Sequence[Sequence[int]],
+    blk: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dense attention under the token mask `rows` expands to — by
+    construction the EXACT semantics of `sparse_flash_attention`
+    (tests/test_sparse_attention.py pins the kernel to this), with none
+    of the kernel's tiling constraints (head_dim % 128, blk % 8).
+
+    This is the measurement surface for the sparsity pattern's QUALITY
+    cost: tiny trained checkpoints whose geometry the Pallas kernel
+    cannot tile run the same policy through here
+    (tests/test_sparse_quality.py), so the measured PSNR/adherence bound
+    is a property of the MASK, not of the kernel."""
+    B, L, H, D = q.shape
+    if L != len(rows) * blk or k.shape[1] != L:
+        raise ValueError(
+            f"geometry mismatch: L={L}, rows={len(rows)}, blk={blk}")
+    if scale is None:
+        scale = D ** -0.5
+    mask = np.zeros((len(rows), len(rows)), bool)
+    for i, r in enumerate(rows):
+        mask[i, list(r)] = True
+    mask_tok = np.repeat(np.repeat(mask, blk, 0), blk, 1)
+    s = jnp.einsum("blhd,bmhd->bhlm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    s = jnp.where(jnp.asarray(mask_tok)[None, None], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 # --------------------------------------------------------------------------
 # DiT integration
 # --------------------------------------------------------------------------
@@ -278,6 +320,7 @@ def make_sparse_attn_fn(
     window: int = 2,
     group: Optional[int] = None,
     interpret: Optional[bool] = None,
+    masked_dense: bool = False,
 ):
     """Build an `attn_fn` for `dit_forward(..., attn_fn=...)` that runs
     video self-attention block-sparse and everything else dense.
@@ -287,6 +330,11 @@ def make_sparse_attn_fn(
     cross-attention (Lk = text_len) and mismatched shapes fall through to
     the dense dispatch. `ref_tokens` must be 0 or == spatial_tokens (the
     FlexAM ref image is patch-embedded on the same spatial grid).
+
+    `masked_dense=True` runs the policy through `masked_dense_attention`
+    instead of the Pallas kernel (identical outputs; no tiling
+    constraints) — the quality-measurement path for geometries the
+    kernel cannot tile.
     """
     from flexam_tpu.core.attention import attention as dense_attention
 
@@ -309,11 +357,14 @@ def make_sparse_attn_fn(
             interpret = True
 
     def attn_fn(q, k, v, k_len=None, scale=None):
-        if (q.shape[1] == k.shape[1] == video_len
-                and blk % 8 == 0 and q.shape[-1] % 128 == 0
-                and k_len is None):
-            return sparse_flash_attention(q, k, v, rows, blk,
-                                          scale=scale, interpret=interpret)
+        if q.shape[1] == k.shape[1] == video_len and k_len is None:
+            if masked_dense:
+                return masked_dense_attention(q, k, v, rows, blk,
+                                              scale=scale)
+            if blk % 8 == 0 and q.shape[-1] % 128 == 0:
+                return sparse_flash_attention(q, k, v, rows, blk,
+                                              scale=scale,
+                                              interpret=interpret)
         return dense_attention(q, k, v, k_len=k_len, scale=scale)
 
     return attn_fn

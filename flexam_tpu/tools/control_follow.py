@@ -309,7 +309,13 @@ def evaluate_adherence(stack: Dict, cases: Sequence[Tuple[np.ndarray,
 
     cfg = stack["cfg"]
     g = stack["geometry"]
-    models = FlexAMModels(cfg=cfg, dit_params=stack["dit_params"],
+    dit_params = stack["dit_params"]
+    if quant:
+        # quantization rewrites the param tree in place; rebuild the
+        # container structure so the caller's stack stays fp (leaves are
+        # immutable arrays — no data copy)
+        dit_params = jax.tree_util.tree_map(lambda x: x, dit_params)
+    models = FlexAMModels(cfg=cfg, dit_params=dit_params,
                           vae_params=stack["vae_params"])
     pipe = FlexAMGenerationPipeline(models, compute_dtype=jnp.float32,
                                     attn_fn=attn_fn, quant=quant)
@@ -375,6 +381,59 @@ def dump_artifacts(outdir: str, case: int, videos: Optional[Dict],
         for name, vid in videos.items():
             save_video(to_thwc(vid), os.path.join(
                 outdir, f"case{case}_{name}.mp4"), fps=fps)
+
+
+# one trained stack is shared by the adherence and quality-bound test
+# files; bump the version after changing the training recipe (the stale
+# cache is then retrained and overwritten)
+CACHE_VERSION = "v3-blob64x13-vae300t9-dit3000cos"
+
+
+def default_cache_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "tests", ".cache_control_follow.npz")
+
+
+def cached_stack(cache_path: str, version: str,
+                 verbose: bool = True) -> Dict:
+    """Train-or-load the control-follow stack, disk-cached keyed by a
+    version stamp (training is ~5 min on a 1-core host; the adherence and
+    quality-bound test files share one cache). Delete the cache after
+    changing the training recipe."""
+    from flexam_tpu.io.checkpoints import restore_pytree, save_pytree
+    from flexam_tpu.models.dit import init_dit_params
+    from flexam_tpu.models.vae import init_vae_params
+
+    cfg = control_follow_config()
+    meta_path = cache_path + ".json"
+    if os.path.exists(cache_path) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("version") == version:
+            like = {
+                "vae": init_vae_params(jax.random.PRNGKey(0), cfg.vae),
+                "dit": init_dit_params(jax.random.PRNGKey(1), cfg.dit,
+                                       dtype=jnp.float32),
+            }
+            params = restore_pytree(cache_path, like)
+            return {"cfg": cfg, "vae_params": params["vae"],
+                    "dit_params": params["dit"],
+                    "ctx": np.asarray(meta["ctx"], np.float32),
+                    "vae_losses": meta["vae_losses"],
+                    "dit_losses": meta["dit_losses"],
+                    "geometry": meta["geometry"]}
+
+    stack = train_control_stack(cfg=cfg, verbose=verbose)
+    save_pytree(cache_path, {"vae": stack["vae_params"],
+                             "dit": stack["dit_params"]})
+    with open(meta_path, "w") as f:
+        json.dump({"version": version,
+                   "ctx": np.asarray(stack["ctx"]).tolist(),
+                   "vae_losses": stack["vae_losses"],
+                   "dit_losses": stack["dit_losses"],
+                   "geometry": stack["geometry"]}, f)
+    return stack
 
 
 def default_holdout_cases(H: int = 64, W: int = 64,

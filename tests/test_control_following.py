@@ -14,60 +14,17 @@ via repo trainers on pipeline-built conditioning) takes ~5 min on this
 tests/.cache_control_follow.npz after changing the training recipe.
 """
 
-import json
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from flexam_tpu.tools import control_follow as cf
 
-CACHE = os.path.join(os.path.dirname(__file__),
-                     ".cache_control_follow.npz")
-CACHE_VERSION = "v3-blob64x13-vae300t9-dit3000cos"
-
-
-def _train_or_load():
-    from flexam_tpu.io.checkpoints import restore_pytree, save_pytree
-    from flexam_tpu.models.dit import init_dit_params
-    from flexam_tpu.models.vae import init_vae_params
-
-    cfg = cf.control_follow_config()
-    meta_path = CACHE + ".json"
-    if os.path.exists(CACHE) and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta.get("version") == CACHE_VERSION:
-            like = {
-                "vae": init_vae_params(jax.random.PRNGKey(0), cfg.vae),
-                "dit": init_dit_params(jax.random.PRNGKey(1), cfg.dit,
-                                       dtype=jnp.float32),
-            }
-            params = restore_pytree(CACHE, like)
-            ctx = np.asarray(meta["ctx"], np.float32)
-            return {"cfg": cfg, "vae_params": params["vae"],
-                    "dit_params": params["dit"], "ctx": ctx,
-                    "vae_losses": meta["vae_losses"],
-                    "dit_losses": meta["dit_losses"],
-                    "geometry": meta["geometry"]}
-
-    stack = cf.train_control_stack(cfg=cfg, verbose=True)
-    save_pytree(CACHE, {"vae": stack["vae_params"],
-                        "dit": stack["dit_params"]})
-    with open(meta_path, "w") as f:
-        json.dump({"version": CACHE_VERSION,
-                   "ctx": np.asarray(stack["ctx"]).tolist(),
-                   "vae_losses": stack["vae_losses"],
-                   "dit_losses": stack["dit_losses"],
-                   "geometry": stack["geometry"]}, f)
-    return stack
-
-
 @pytest.fixture(scope="module")
 def stack():
-    return _train_or_load()
+    return cf.cached_stack(cf.default_cache_path(), cf.CACHE_VERSION)
 
 
 @pytest.fixture(scope="module")
