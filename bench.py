@@ -257,13 +257,41 @@ def main():
 
     steps_per_sec = n_steps / dt
     log(f"{n_steps} steps in {dt:.2f}s")
-    target_per_chip = 50.0 / 60.0 / 8.0   # north star spread over 8 chips
-    print(json.dumps({
+    record = {
         "metric": "denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / target_per_chip, 3),
-    }))
+    }
+
+    # the opt-in int8 block-linear rate (ops/qlinear.py, quality bound in
+    # tests/test_sparse_quality.py) rides along as extra keys — the
+    # headline stays the dense-exact bf16 rate for round-over-round
+    # comparability. FLEXAM_BENCH_INT8=0 skips it (~35 s: in-place
+    # conversion + one compile + 5 steps).
+    if os.environ.get("FLEXAM_BENCH_INT8", "1") != "0":
+        from flexam_tpu.ops.qlinear import convert_dit_to_int8
+        t_q = time.perf_counter()
+        params = convert_dit_to_int8(params)
+        jax.block_until_ready(
+            params["blocks"]["self_attn"]["q"]["weight_q"])
+        log(f"int8 conversion: {time.perf_counter() - t_q:.1f}s")
+        state = sampler_init_state(x0, tables.order)
+        t_c = time.perf_counter()
+        state = denoise_step(params, cond, sched, state, jnp.int32(0))
+        float(jnp.sum(state[0][:, 0, 0, 0, :8]))
+        log(f"int8 compile + first step: {time.perf_counter() - t_c:.1f}s")
+        t0 = time.perf_counter()
+        for i in range(1, n_steps + 1):
+            state = denoise_step(params, cond, sched, state, jnp.int32(i))
+        float(jnp.sum(state[0][:, 0, 0, 0, :8]))
+        int8_rate = n_steps / (time.perf_counter() - t0)
+        log(f"int8: {n_steps} steps in {n_steps / int8_rate:.2f}s")
+        record["int8_steps_per_sec"] = round(int8_rate, 4)
+        record["int8_speedup"] = round(int8_rate / steps_per_sec, 3)
+
+    target_per_chip = 50.0 / 60.0 / 8.0   # north star spread over 8 chips
+    record["vs_baseline"] = round(steps_per_sec / target_per_chip, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--random_init", type=str, default=None,
                    choices=["tiny", "5b"],
                    help="random weights instead of a checkpoint (smoke)")
+    p.add_argument("--quant", type=str, default=None,
+                   choices=["int8", "fp8"],
+                   help="DiT weight quantization: int8 block GEMMs "
+                        "(1.31x denoise, ~5.7 GB resident) or fp8 "
+                        "storage (memory only); also via FLEXAM_QUANT")
     p.add_argument("--num_inference_steps", type=int, default=40)
     p.add_argument("--repaint", type=str, default=None)
     p.add_argument("--camera_motion", type=str, default=None)
@@ -140,7 +145,8 @@ def _build_models(args):
             os.path.join(args.checkpoint_path, "google/umt5-xxl"))
         models = FlexAMModels(cfg=cfg, dit_params=dit, vae_params=vae,
                               t5_params=t5, t5_from_checkpoint=True)
-        return FlexAMGenerationPipeline(models, tokenizer=tokenizer)
+        return FlexAMGenerationPipeline(models, tokenizer=tokenizer,
+                                        quant=args.quant)
 
     cfg = tiny_test_config() if args.random_init == "tiny" else WAN22_5B_FLEXAM
     dtype = jnp.float32 if args.random_init == "tiny" else jnp.bfloat16
@@ -153,7 +159,7 @@ def _build_models(args):
     )
     return FlexAMGenerationPipeline(
         models, compute_dtype=jnp.float32 if args.random_init == "tiny"
-        else jnp.bfloat16)
+        else jnp.bfloat16, quant=args.quant)
 
 
 def main(argv=None):

@@ -152,9 +152,16 @@ class FlexAMGenerationPipeline:
         self.tokenizer = tokenizer
         self.compute_dtype = compute_dtype
         self.attn_fn = attn_fn or default_attention
-        # opt-in int8 block GEMMs (ops/qlinear.py): 1.5-1.77x the bf16 MXU
-        # rate at flagship shapes, approximate (per-token dynamic scales).
-        # quant="int8" or FLEXAM_QUANT=int8; applied to both DiT experts.
+        # opt-in DiT weight quantization, quant=... or FLEXAM_QUANT=...:
+        #   "int8": block GEMMs via ops/qlinear.py — 1.5-1.77x the bf16 MXU
+        #           rate (dynamic per-token scales, approximate; 64 dB PSNR
+        #           on the trained quality gate) AND ~half the weight HBM;
+        #   "fp8":  storage-only fp8-e4m3 (utils/fp8.py, the reference's
+        #           qfloat8 memory mode) — halves weight HBM, computes at
+        #           bf16 rate via in-jit autocast.
+        # Both applied to both DiT experts; both let the flagship decode
+        # run NEXT TO the resident weights on a 16 GB chip (no
+        # offload/restore cycle — tools/serving_bench.py measures this).
         quant = quant if quant is not None else os.environ.get(
             "FLEXAM_QUANT", "")
         if quant == "int8":
@@ -163,9 +170,16 @@ class FlexAMGenerationPipeline:
                 models.dit_params = convert_dit_to_int8(models.dit_params)
             if models.dit2_params is not None:
                 models.dit2_params = convert_dit_to_int8(models.dit2_params)
+        elif quant == "fp8":
+            from flexam_tpu.utils.fp8 import convert_weights_to_fp8
+            if models.dit_params is not None:
+                models.dit_params = convert_weights_to_fp8(models.dit_params)
+            if models.dit2_params is not None:
+                models.dit2_params = convert_weights_to_fp8(
+                    models.dit2_params)
         elif quant not in ("", "none"):
             raise ValueError(f"unknown quant mode {quant!r} "
-                             "(supported: 'int8')")
+                             "(supported: 'int8', 'fp8')")
         self.rope_tables = jnp.asarray(
             make_rope_tables_for(models.cfg.dit), jnp.float32)
         self.last_link_probe = None     # utils.linkprobe result

@@ -25,10 +25,16 @@ DEFAULT_EXCLUDE = ("modulation", "norm", "bias", "latents_")
 
 
 def _map_with_path(fn, tree):
+    """Apply fn to leaves, REPLACING dict values in place as visited: each
+    converted leaf's source buffer frees before the next one converts, so
+    peak device memory is the source tree + ONE converted leaf. The
+    rebuild-a-new-tree version kept the full bf16 5B alive next to the
+    accumulating fp8 copy and OOM'd a 16 GB chip (round-4 serving run)."""
     def visit(path, node):
         if isinstance(node, dict):
-            return {k: visit(f"{path}/{k}" if path else k, v)
-                    for k, v in node.items()}
+            for k in node:
+                node[k] = visit(f"{path}/{k}" if path else k, node[k])
+            return node
         if isinstance(node, (list, tuple)):
             out = [visit(f"{path}/{i}", v) for i, v in enumerate(node)]
             return type(node)(out) if isinstance(node, tuple) else out
@@ -37,7 +43,8 @@ def _map_with_path(fn, tree):
 
 
 def convert_weights_to_fp8(params, exclude: Sequence[str] = DEFAULT_EXCLUDE):
-    """Store eligible >=2D float weights as float8_e4m3fn."""
+    """Store eligible >=2D float weights as float8_e4m3fn. The tree is
+    mutated IN PLACE (memory: see `_map_with_path`) and returned."""
     def conv(path, leaf):
         if not hasattr(leaf, "dtype") or not jnp.issubdtype(
                 leaf.dtype, jnp.floating):
@@ -50,9 +57,11 @@ def convert_weights_to_fp8(params, exclude: Sequence[str] = DEFAULT_EXCLUDE):
 
 def cast_weights(params, dtype=jnp.bfloat16):
     """Per-forward autocast (`convert_weight_dtype_wrapper` equivalent):
-    call inside the jitted function on the fp8-stored pytree."""
-    def conv(path, leaf):
+    call inside the jitted function on the fp8-stored pytree. PURE (the
+    input tree is not mutated — it is typically the caller's stored
+    params or a traced copy)."""
+    def conv(leaf):
         if hasattr(leaf, "dtype") and leaf.dtype == jnp.float8_e4m3fn:
             return leaf.astype(dtype)
         return leaf
-    return _map_with_path(conv, params)
+    return jax.tree_util.tree_map(conv, params)

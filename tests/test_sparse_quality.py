@@ -108,11 +108,28 @@ def test_sparse_adherence_discriminates(sparse_by_window):
 
 def test_int8_quant_quality_bound(stack, dense):
     """int8 dynamic-quantized linears: near-transparent on the trained
-    checkpoint (measured ~40 dB / SSIM ~0.99 vs the dense fp32 output)
+    checkpoint (measured 64.2 dB / SSIM 1.000 vs the dense fp32 output)
     and the adherence gate holds."""
     results = _run(stack, quant="int8")
     p, s, c = _scores(results, dense)
     print(f"[int8] psnr {p:.1f} dB ssim {s:.3f} centroid_err {c:.1f} px")
     assert p > 30.0, p
     assert s > 0.95, s
+    assert c < 12.0, c
+
+
+def test_combined_int8_sparse_quality_bound(stack, dense):
+    """The accelerated serving config stacks BOTH approximations (int8
+    linears + sparse attention at the default window): the combined
+    deviation must stay within the single-mode bounds' ballpark and hold
+    the adherence gate (measured ~63 dB — sparse w=2 dominates)."""
+    frames, spatial, ref = _latent_geometry(stack)
+    fn = make_sparse_attn_fn(frames, spatial, ref_tokens=ref,
+                             window=2, group=1, masked_dense=True)
+    results = _run(stack, attn_fn=fn, quant="int8")
+    p, s, c = _scores(results, dense)
+    print(f"[int8+sparse w=2] psnr {p:.1f} dB ssim {s:.3f} "
+          f"centroid_err {c:.1f} px")
+    assert p > 25.0, p
+    assert s > 0.9, s
     assert c < 12.0, c
