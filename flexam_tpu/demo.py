@@ -118,6 +118,9 @@ def _build_models(args):
     import jax
     import jax.numpy as jnp
 
+    # Namespace-style callers (serve.py) may omit the quant attribute
+    quant = getattr(args, "quant", None)
+
     from flexam_tpu.config import WAN22_5B_FLEXAM, tiny_test_config
     from flexam_tpu.models.dit import init_dit_params
     from flexam_tpu.models.t5 import init_t5_params
@@ -146,7 +149,7 @@ def _build_models(args):
         models = FlexAMModels(cfg=cfg, dit_params=dit, vae_params=vae,
                               t5_params=t5, t5_from_checkpoint=True)
         return FlexAMGenerationPipeline(models, tokenizer=tokenizer,
-                                        quant=args.quant)
+                                        quant=quant)
 
     cfg = tiny_test_config() if args.random_init == "tiny" else WAN22_5B_FLEXAM
     dtype = jnp.float32 if args.random_init == "tiny" else jnp.bfloat16
@@ -159,7 +162,7 @@ def _build_models(args):
     )
     return FlexAMGenerationPipeline(
         models, compute_dtype=jnp.float32 if args.random_init == "tiny"
-        else jnp.bfloat16, quant=args.quant)
+        else jnp.bfloat16, quant=quant)
 
 
 def main(argv=None):

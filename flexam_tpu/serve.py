@@ -497,6 +497,12 @@ def main():
     p.add_argument("--random_init", type=str, default="tiny")
     p.add_argument("--checkpoint_path", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--quant", type=str, default=None,
+                   choices=["int8", "fp8"],
+                   help="DiT weight quantization for the resident model "
+                        "(int8: 1.31x denoise + ~5.7 GB resident; fp8: "
+                        "storage only) — the measured serving configs "
+                        "(tools/serving_bench.py, BASELINE.md round 4)")
     # client-side generation knobs (`ui/wan2_2_fun_ui.py:178-399` surface)
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--cfg", type=float, default=6.0)
@@ -518,7 +524,7 @@ def main():
             jax.config.update("jax_platforms", args.platform)
         pipe = _build_models(argparse.Namespace(
             checkpoint_path=args.checkpoint_path,
-            random_init=args.random_init))
+            random_init=args.random_init, quant=args.quant))
         GenerationServer(pipe).serve(args.port)
     elif args.client:
         t = args.video_length

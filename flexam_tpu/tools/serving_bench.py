@@ -16,8 +16,16 @@ session:
                  next to the weights AND 1.31x faster denoise
                  (1.610 vs 2.113 s/step measured round 4).
 
+`--attention sparse` stacks the block-sparse video attention on top of
+the residency mode (the fully ACCELERATED serving config: int8 linears +
+sparse attention — combined quality bound measured on the trained gate,
+tests/test_sparse_quality.py `test_combined_int8_sparse_quality_bound`),
+and `--cfg-skip R` drops the uncond branch for the last R fraction of
+steps (the reference's `cfg_skip()`).
+
 Usage:
   python -m flexam_tpu.tools.serving_bench --mode int8 --runs 5
+  python -m flexam_tpu.tools.serving_bench --mode int8 --attention sparse
   python -m flexam_tpu.tools.serving_bench --mode bf16-offload --runs 2
 
 Emits one JSON line per run {run, probe_rtt_ms, prepare_s, denoise_s,
@@ -121,6 +129,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--mode", default="int8",
                     choices=("bf16-offload", "fp8", "int8"))
+    ap.add_argument("--attention", default="default",
+                    choices=("default", "sparse"),
+                    help="sparse = block-sparse video self-attention "
+                         "(ops/sparse_attention.py) on top of the "
+                         "residency mode")
+    ap.add_argument("--sparse-window", type=int, default=2)
+    ap.add_argument("--cfg-skip", type=float, default=0.0,
+                    help="cfg_skip_ratio for the denoise loop")
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, nargs=2, default=(512, 896),
@@ -133,6 +149,13 @@ def main(argv=None):
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
+
+    import os
+
+    if args.attention == "sparse":
+        # resolved per latent geometry by pipeline._resolve_attn_fn
+        os.environ["FLEXAM_ATTENTION"] = "sparse"
+        os.environ["FLEXAM_SPARSE_WINDOW"] = str(args.sparse_window)
 
     import jax
 
@@ -185,6 +208,11 @@ def main(argv=None):
         rec = {"run": run, "mode": args.mode,
                "probe_rtt_ms": probe.get("rtt_ms_median"),
                "healthy": probe.get("healthy")}
+        if args.attention != "default":
+            rec["attention"] = args.attention
+            rec["sparse_window"] = args.sparse_window
+        if args.cfg_skip:
+            rec["cfg_skip"] = args.cfg_skip
         t_run = time.perf_counter()
 
         t0 = time.perf_counter()
@@ -197,7 +225,8 @@ def main(argv=None):
         t0 = time.perf_counter()
         latents = pipe.denoise(cond, ctx,
                                num_inference_steps=args.steps,
-                               guidance_scale=args.guidance, seed=run)
+                               guidance_scale=args.guidance, seed=run,
+                               cfg_skip_ratio=args.cfg_skip)
         float(jnp.sum(latents[:, :1, :1, :1, :1].astype(jnp.float32)))
         dt = max(time.perf_counter() - t0, 1e-6)
         rec["denoise_s"] = round(dt, 1)
@@ -223,10 +252,16 @@ def main(argv=None):
            for k in ("prepare_s", "denoise_s", "decode_s", "e2e_s",
                      "steps_per_s", "restore_dit_s")
            if any(k in r for r in warm)}
-    print(json.dumps({"summary": True, "mode": args.mode,
-                      "runs": args.runs, "init_s": init_s,
-                      "warm_medians": med,
-                      "run0_e2e_s": records[0]["e2e_s"]}), flush=True)
+    summary = {"summary": True, "mode": args.mode,
+               "runs": args.runs, "init_s": init_s,
+               "warm_medians": med,
+               "run0_e2e_s": records[0]["e2e_s"]}
+    if args.attention != "default":
+        summary["attention"] = args.attention
+        summary["sparse_window"] = args.sparse_window
+    if args.cfg_skip:
+        summary["cfg_skip"] = args.cfg_skip
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

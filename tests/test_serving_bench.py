@@ -40,6 +40,42 @@ def test_int8_resident_session():
                                             "decode_s", "e2e_s"}
 
 
+def test_accelerated_int8_sparse_session(monkeypatch):
+    """--attention sparse stacks block-sparse video attention on the int8
+    residency mode (the accelerated serving config); the records carry
+    the attention/window fields so sessions are attributable."""
+    import io
+    from contextlib import redirect_stdout
+    from flexam_tpu.tools import serving_bench
+
+    monkeypatch.delenv("FLEXAM_ATTENTION", raising=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        serving_bench.main(["--tiny", "--mode", "int8", "--runs", "1",
+                            "--steps", "1", "--size", "32", "32",
+                            "--frames", "9", "--attention", "sparse",
+                            "--sparse-window", "1", "--cfg-skip", "0.0"])
+    lines = [json.loads(l) for l in buf.getvalue().splitlines() if l]
+    recs, summary = lines[:-1], lines[-1]
+    assert recs[0]["attention"] == "sparse"
+    assert recs[0]["sparse_window"] == 1
+    assert summary["attention"] == "sparse"
+    assert recs[0]["video_shape"] == [1, 9, 32, 32, 3]
+    monkeypatch.delenv("FLEXAM_ATTENTION", raising=False)
+
+
+def test_build_models_without_quant_attr():
+    """serve.py hands `demo._build_models` a bare Namespace; the function
+    must not require the CLI-only quant attribute (regression: adding
+    --quant to demo broke serve --host with AttributeError)."""
+    import argparse
+    from flexam_tpu.demo import _build_models
+
+    pipe = _build_models(argparse.Namespace(
+        checkpoint_path=None, random_init="tiny"))
+    assert pipe.models.dit_params is not None
+
+
 def test_bf16_offload_session_pays_restore():
     recs, summary = _run("bf16-offload")
     assert recs[0]["restore_dit_s"] >= 0.0
