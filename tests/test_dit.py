@@ -172,8 +172,11 @@ def test_camera_adapter_and_fp8_and_lora():
     assert out_cam.shape == out_nocam.shape
     assert not np.allclose(np.asarray(out_cam), np.asarray(out_nocam))
 
-    # fp8 storage round-trip: quantize, cast back, forward still works
-    p8 = convert_weights_to_fp8(params)
+    # fp8 storage round-trip: quantize, cast back, forward still works.
+    # convert_weights_to_fp8 mutates IN PLACE (frees each source leaf as
+    # it converts — a 5B tree would otherwise OOM the chip), so hand it a
+    # structural copy: the LoRA section below still needs the fp32 tree.
+    p8 = convert_weights_to_fp8(jax.tree_util.tree_map(lambda a: a, params))
     assert p8["blocks"]["ffn"]["fc1"]["weight"].dtype == jnp.float8_e4m3fn
     assert p8["blocks"]["modulation"].dtype == jnp.float32  # excluded
     out8 = dit_forward(cast_weights(p8, jnp.float32), cfg, x, t, ctx)
