@@ -5,7 +5,9 @@
 # small and run green (~8 + ~21 min warm on this 1-core host).
 set -u
 cd "$(dirname "$0")"
-FIRST=$(ls tests/test_*.py | head -27 | tr '\n' ' ')
-SECOND=$(ls tests/test_*.py | tail -n +28 | tr '\n' ' ')
+N=$(ls tests/test_*.py | wc -l)
+HALF=$(( (N + 1) / 2 ))
+FIRST=$(ls tests/test_*.py | head -"$HALF" | tr '\n' ' ')
+SECOND=$(ls tests/test_*.py | tail -n +$(( HALF + 1 )) | tr '\n' ' ')
 python -u -m pytest $FIRST -q "$@" || exit 1
 exec python -u -m pytest $SECOND -q "$@"
