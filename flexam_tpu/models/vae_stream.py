@@ -39,6 +39,7 @@ from flexam_tpu.models.vae import (_silu, attention_block, avg_down3d,
                                    causal_conv3d, channel_rms_norm, conv2d,
                                    dup_up3d, patchify, unpatchify,
                                    _upsample_nearest2x, latent_stats)
+from flexam_tpu.utils.aot_cache import aot_call
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +219,11 @@ def _decode_groups(params: dict, cfg: VAEConfig, zlat: jnp.ndarray,
         take = first_g if first else min(g, lt - idx)
         chunk = x[:, idx:idx + take]
         fn = _decode_group_jit_first if first else _decode_group_jit
-        y, caches = fn(params, cfg, chunk, caches, first)
+        # the group executable is the bulk of a cold decode's compile
+        # bill (~50 s at flagship) — route through the serialized-
+        # executable cache when FLEXAM_AOT_CACHE is configured
+        y, caches = aot_call(fn, (params, cfg, chunk, caches, first),
+                             static_argnums=(1, 4), tag="vae_decode_group")
         yield y
         idx += take
         first = False
@@ -469,7 +474,8 @@ def vae_encode_stream_fn(params: dict, cfg: VAEConfig, frame_fn,
             caches = _encoder_cache_shapes(cfg, b, x.shape[2], x.shape[3],
                                            x.dtype)
         efn = _encode_group_jit_first if first else _encode_group_jit
-        y, caches = efn(params, cfg, x, caches, first)
+        y, caches = aot_call(efn, (params, cfg, x, caches, first),
+                             static_argnums=(1, 4), tag="vae_encode_group")
         outs.append(y)
         idx += take
         first = False

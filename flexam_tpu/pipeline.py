@@ -146,12 +146,19 @@ class FlexAMGenerationPipeline:
 
     def __init__(self, models: FlexAMModels, tokenizer=None,
                  compute_dtype=jnp.bfloat16, attn_fn=None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None,
+                 aot_cache_dir: Optional[str] = None):
         self.models = models
         self.cfg = models.cfg
         self.tokenizer = tokenizer
         self.compute_dtype = compute_dtype
         self.attn_fn = attn_fn or default_attention
+        # serialized-executable cache (utils/aot_cache.py): a fresh
+        # process skips ~3 min of XLA compiles at flagship scale. The
+        # knob is process-global (vae_stream's module jits share it);
+        # also enabled by FLEXAM_AOT_CACHE=<dir>.
+        from flexam_tpu.utils import aot_cache
+        self._aot = aot_cache.configure(aot_cache_dir)
         # opt-in DiT weight quantization, quant=... or FLEXAM_QUANT=...:
         #   "int8": block GEMMs via ops/qlinear.py — 1.5-1.77x the bf16 MXU
         #           rate (dynamic per-token scales, approximate; 64 dB PSNR
@@ -817,8 +824,8 @@ class FlexAMGenerationPipeline:
                 if c0 + length <= resume_step + 1:
                     c0 += length
                     continue
-                state, tea = self._denoise_chunk_jit(
-                    params, state, tea, jnp.int32(c0),
+                chunk_args = (
+                    self, params, state, tea, jnp.int32(c0),
                     cond["control_latents"], cond["mask_latents"],
                     cond["masked_video_latents"],
                     cond["additional_control"], cond["ref_latents"],
@@ -831,6 +838,17 @@ class FlexAMGenerationPipeline:
                     bool(cond.get("per_token_t", True)),
                     float(teacache_thresh), int(teacache_skip_start),
                     attn_fn, cond.get("y_camera"))
+                if self._aot is not None:
+                    # serialized-executable cache: statics must mirror
+                    # the _denoise_chunk_jit decorator's static_argnums
+                    from flexam_tpu.utils.aot_cache import aot_call
+                    state, tea = aot_call(
+                        type(self)._denoise_chunk_jit, chunk_args,
+                        static_argnums=(0, 16, 17, 18, 19, 20, 21, 22,
+                                        23, 24),
+                        tag="denoise_chunk")
+                else:
+                    state, tea = self._denoise_chunk_jit(*chunk_args[1:])
                 c0 += length
                 if progress_cb is not None:
                     progress_cb(min(c0, n), n)

@@ -137,6 +137,10 @@ def main(argv=None):
     ap.add_argument("--sparse-window", type=int, default=2)
     ap.add_argument("--cfg-skip", type=float, default=0.0,
                     help="cfg_skip_ratio for the denoise loop")
+    ap.add_argument("--aot-cache", default=None, metavar="DIR",
+                    help="serialized-executable cache dir "
+                         "(utils/aot_cache.py): a fresh process skips "
+                         "the XLA compile bill when the dir is warm")
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, nargs=2, default=(512, 896),
@@ -156,6 +160,8 @@ def main(argv=None):
         # resolved per latent geometry by pipeline._resolve_attn_fn
         os.environ["FLEXAM_ATTENTION"] = "sparse"
         os.environ["FLEXAM_SPARSE_WINDOW"] = str(args.sparse_window)
+    if args.aot_cache:
+        os.environ["FLEXAM_AOT_CACHE"] = args.aot_cache
 
     import jax
 

@@ -1,0 +1,252 @@
+"""Disk cache of serialized compiled executables (cold-start attack).
+
+Why this exists: a fresh process at flagship scale pays ~185 s of XLA
+compiles (serving run 0 vs warm, BASELINE.md round 4), and the
+toolchain's own persistent HLO compile cache is unusable here — its
+serialize RPC wedges the tunnel for minutes and stale entries have
+segfaulted the process on READ (see bench.py `_cache_is_safe` and
+CLAUDE.md). `jax.experimental.serialize_executable` sidesteps both:
+serialization is measured safe over this tunnel (0.1 s for the 18 MB 5B
+DiT executable) and a fresh process `deserialize_and_load`s it in ~0.1 s
+and executes BIT-EXACTLY (same output checksum, round-4 probe) with zero
+XLA work. Counterpart of the reference's lack: torch.compile caches
+nothing across processes either — this is a capability the reference
+does not have.
+
+Usage: set `FLEXAM_AOT_CACHE=/path/dir` (or pass
+`FlexAMGenerationPipeline(..., aot_cache_dir=...)`) and the pipeline's
+expensive jits route through `aot_call` below. Disabled (default), the
+call path is a plain jit call with zero overhead.
+
+Keying: sha256 over jax/jaxlib versions, backend platform, device kind,
+device count, and the lowered StableHLO text — so a changed model
+config, shape, static argument, or toolchain never loads a stale
+executable. On CPU backends the host's /proc/cpuinfo flags join the key:
+serialized CPU executables bake host ISA features and loading one from a
+different host variant risks SIGILL (observed with the XLA compile cache
+when driver hosts rotate).
+
+Every failure path (unreadable blob, deserialize error, version skew)
+falls back to a fresh compile and rewrites the entry; cache writes are
+atomic (tmp + rename).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import sys
+import tempfile
+import time
+from typing import Optional, Sequence, Tuple
+
+__all__ = ["AotCache", "configure", "enabled", "aot_call"]
+
+
+def _log(msg: str) -> None:
+    print(f"[aot_cache] {msg}", file=sys.stderr, flush=True)
+
+
+def _backend_fingerprint() -> str:
+    import jax
+
+    try:
+        import jaxlib
+        jaxlib_v = jaxlib.__version__
+    except Exception:
+        jaxlib_v = "?"
+    dev = jax.devices()[0]
+    parts = [jax.__version__, jaxlib_v, dev.platform,
+             getattr(dev, "device_kind", "?"), str(jax.device_count())]
+    if dev.platform == "cpu":
+        # CPU executables bake host ISA features; hosts rotate between
+        # sessions here — key on the cpuinfo flags line
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        parts.append(hashlib.sha256(
+                            line.encode()).hexdigest()[:16])
+                        break
+        except OSError:
+            parts.append("nocpuinfo")
+    return "|".join(parts)
+
+
+def _signature(args, kwargs) -> tuple:
+    """Cheap hashable in-memory key for one call signature (avoids
+    re-lowering on every launch of an already-seen shape)."""
+    def one(a):
+        if a is None:
+            return None
+        if hasattr(a, "shape") and hasattr(a, "dtype"):
+            return ("arr", tuple(a.shape), str(a.dtype))
+        if isinstance(a, dict):
+            return ("dict",) + tuple((k, one(v)) for k, v in sorted(
+                a.items(), key=lambda kv: str(kv[0])))
+        if isinstance(a, (list, tuple)):
+            return ("seq",) + tuple(one(v) for v in a)
+        if isinstance(a, (int, float, bool, str, bytes)):
+            return a
+        # static objects (configs, attn closures): identity is correct
+        # within a process; the DISK key hashes the lowered HLO instead
+        return ("obj", id(a))
+    return (tuple(one(a) for a in args),
+            tuple((k, one(v)) for k, v in sorted(kwargs.items())))
+
+
+class AotCache:
+    """One directory of serialized executables + an in-memory table of
+    loaded `Compiled` objects keyed by call signature."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._mem = {}
+        self._fingerprint = None
+
+    def _fp(self) -> str:
+        if self._fingerprint is None:
+            self._fingerprint = _backend_fingerprint()
+        return self._fingerprint
+
+    def call(self, jit_fn, args: tuple, kwargs: Optional[dict] = None,
+             static_argnums: Sequence[int] = (), tag: str = "fn"):
+        """Call `jit_fn(*args, **kwargs)` through the executable cache.
+
+        `static_argnums` are the positions (relative to `args` as passed
+        HERE) that the underlying jit treats as static — a compiled
+        executable is invoked with the dynamic arguments only.
+        """
+        kwargs = kwargs or {}
+        sig = (id(jit_fn),) + _signature(args, kwargs)
+        entry = self._mem.get(sig)
+        if entry is None:
+            entry = self._mem[sig] = self._load_or_compile(
+                jit_fn, args, kwargs, tuple(static_argnums), tag)
+        compiled = entry
+        if compiled is False:          # cache permanently bypassed
+            return jit_fn(*args, **kwargs)
+        dyn = [a for i, a in enumerate(args) if i not in
+               frozenset(static_argnums)]
+        return compiled(*dyn, **kwargs)
+
+    def _load_or_compile(self, jit_fn, args, kwargs, static_argnums, tag):
+        from jax.experimental import serialize_executable as se
+
+        try:
+            t0 = time.perf_counter()
+            lowered = jit_fn.lower(*args, **kwargs)
+            hlo = lowered.as_text()
+            key = hashlib.sha256(
+                (self._fp() + "\0" + hlo).encode()).hexdigest()[:32]
+            fname = os.path.join(self.path, f"{tag}-{key}.jexec")
+            trace_s = time.perf_counter() - t0
+        except Exception as e:                       # pragma: no cover -
+            _log(f"{tag}: lowering for cache failed ({e!r}); "
+                 "bypassing cache for this signature")
+            return False
+
+        if os.path.exists(fname):
+            try:
+                import jax
+
+                t0 = time.perf_counter()
+                with open(fname, "rb") as fh:
+                    payload, in_tree, out_tree, n_dev = pickle.load(fh)
+                # deserialize_and_load defaults execution_devices to ALL
+                # backend devices; an executable compiled for one device
+                # then refuses to run on an 8-device virtual mesh host
+                compiled = se.deserialize_and_load(
+                    payload, in_tree, out_tree,
+                    execution_devices=jax.devices()[:n_dev])
+                _log(f"{tag}: loaded executable in "
+                     f"{time.perf_counter() - t0:.1f}s (trace {trace_s:.1f}s,"
+                     f" zero XLA compile) from {os.path.basename(fname)}")
+                return compiled
+            except Exception as e:
+                _log(f"{tag}: stale/unreadable entry ({e!r}); recompiling")
+                try:
+                    os.unlink(fname)
+                except OSError:
+                    pass
+
+        t0 = time.perf_counter()
+        # compile with the HLO compile cache OFF: an executable that
+        # compile() itself deserialized from that cache re-serializes
+        # INCOMPLETE (missing auxiliary functions — "Buffer Definition
+        # Event: Function wrapped_convert.9 not found" at run time on
+        # CPU). Our cache replaces that one anyway. Toggling
+        # jax_enable_compilation_cache alone is NOT enough: jax latches
+        # is_cache_used() globally after the first compile of the
+        # process (compilation_cache._cache_checked), so once any jit
+        # compiled with the cache on, the config flag is ignored for
+        # both GET and PUT — flip the latch itself for the duration.
+        import jax
+
+        latch = None
+        try:
+            from jax._src import compilation_cache as _cc
+            with _cc._cache_initialized_mutex:
+                latch = (_cc._cache_checked, _cc._cache_used)
+                _cc._cache_checked, _cc._cache_used = True, False
+        except Exception:            # private API drifted: config-only
+            latch = None
+        prev = jax.config.jax_enable_compilation_cache
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+            compiled = lowered.compile()
+        finally:
+            jax.config.update("jax_enable_compilation_cache", prev)
+            if latch is not None:
+                with _cc._cache_initialized_mutex:
+                    _cc._cache_checked, _cc._cache_used = latch
+        compile_s = time.perf_counter() - t0
+        try:
+            n_dev = len(compiled.runtime_executable().local_devices())
+        except Exception:
+            n_dev = 1
+        try:
+            payload, in_tree, out_tree = se.serialize(compiled)
+            fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+            with os.fdopen(fd, "wb") as fh:
+                pickle.dump((payload, in_tree, out_tree, n_dev), fh)
+            os.replace(tmp, fname)
+            _log(f"{tag}: compiled {compile_s:.1f}s, cached "
+                 f"{len(payload) / 1e6:.1f} MB -> {os.path.basename(fname)}")
+        except Exception as e:
+            _log(f"{tag}: executable not serializable ({e!r}); "
+                 "compiled fresh, not cached")
+        return compiled
+
+
+# -- module-level switch (vae_stream's jits are module functions, so the
+#    pipeline configures one shared cache rather than threading a handle
+#    through every call) ----------------------------------------------------
+
+_CACHE: Optional[AotCache] = None
+
+
+def configure(path: Optional[str]) -> Optional[AotCache]:
+    """Enable (path) or disable (None) the global executable cache.
+    Returns the active cache. Also reads FLEXAM_AOT_CACHE when path is
+    None so env-only setups work."""
+    global _CACHE
+    if path is None:
+        path = os.environ.get("FLEXAM_AOT_CACHE") or None
+    _CACHE = AotCache(path) if path else None
+    return _CACHE
+
+
+def enabled() -> Optional[AotCache]:
+    return _CACHE
+
+
+def aot_call(jit_fn, args: tuple, kwargs: Optional[dict] = None,
+             static_argnums: Sequence[int] = (), tag: str = "fn"):
+    """Route one jit call through the global cache; plain call when
+    disabled (the default — zero overhead beyond an `is None` check)."""
+    if _CACHE is None:
+        return jit_fn(*args, **(kwargs or {}))
+    return _CACHE.call(jit_fn, args, kwargs, static_argnums, tag)

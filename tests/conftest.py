@@ -27,6 +27,7 @@ jax.config.update("jax_platforms", _platform)
 if os.environ.get("FLEXAM_TEST_CACHE", "1") != "0":
     jax.config.update(
         "jax_compilation_cache_dir",
+        os.environ.get("FLEXAM_TEST_CACHE_DIR") or
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
