@@ -160,6 +160,15 @@ def main():
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # serialized-executable cache (utils/aot_cache.py): the 5B denoise
+    # step's XLA compile dominates a fresh bench process; a warm
+    # .aot_cache loads it in <1 s instead. FLEXAM_AOT_CACHE=0 disables,
+    # any other value overrides the directory.
+    from flexam_tpu.utils.aot_cache import aot_call, configure
+    aot_env = os.environ.get("FLEXAM_AOT_CACHE", "")
+    configure("" if aot_env == "0" else aot_env or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".aot_cache"))
+
     from flexam_tpu.config import WAN22_5B_FLEXAM
     from flexam_tpu.models.dit import (dit_forward, init_dit_params,
                                        make_rope_tables_for)
@@ -188,7 +197,9 @@ def main():
              ).astype(l.dtype)
             for k, l in zip(keys, leaves)])
 
-    params = make_params(jax.random.PRNGKey(0))
+    # the fused-RNG init jit itself compiles for ~2 min on this 1-core
+    # host (1100+ rng ops) — cache its executable too
+    params = aot_call(make_params, (jax.random.PRNGKey(0),), tag="dit_init")
     # force materialization
     float(jnp.sum(params["head"]["head"]["bias"].astype(jnp.float32)))
     # eager fused-kernel probe (must run OUTSIDE the denoise jit trace)
@@ -242,16 +253,23 @@ def main():
         state, _ = sampler_step(sched, False, state, v.astype(jnp.float32), i)
         return state
 
+    def step(params, state, i):
+        # routed through the executable cache (no-op when disabled); the
+        # dense and int8 legs lower to different HLO -> distinct entries
+        return aot_call(denoise_step,
+                        (params, cond, sched, state, jnp.int32(i)),
+                        tag="bench_denoise_step")
+
     state = sampler_init_state(x0, tables.order)
     t_c = time.perf_counter()
-    state = denoise_step(params, cond, sched, state, jnp.int32(0))
+    state = step(params, state, 0)
     float(jnp.sum(state[0][:, 0, 0, 0, :8]))       # forced fetch
     log(f"compile + first step: {time.perf_counter() - t_c:.1f}s")
 
     n_steps = 5
     t0 = time.perf_counter()
     for i in range(1, n_steps + 1):
-        state = denoise_step(params, cond, sched, state, jnp.int32(i))
+        state = step(params, state, i)
     float(jnp.sum(state[0][:, 0, 0, 0, :8]))       # forced fetch
     dt = time.perf_counter() - t0
 
@@ -277,12 +295,12 @@ def main():
         log(f"int8 conversion: {time.perf_counter() - t_q:.1f}s")
         state = sampler_init_state(x0, tables.order)
         t_c = time.perf_counter()
-        state = denoise_step(params, cond, sched, state, jnp.int32(0))
+        state = step(params, state, 0)
         float(jnp.sum(state[0][:, 0, 0, 0, :8]))
         log(f"int8 compile + first step: {time.perf_counter() - t_c:.1f}s")
         t0 = time.perf_counter()
         for i in range(1, n_steps + 1):
-            state = denoise_step(params, cond, sched, state, jnp.int32(i))
+            state = step(params, state, i)
         float(jnp.sum(state[0][:, 0, 0, 0, :8]))
         int8_rate = n_steps / (time.perf_counter() - t0)
         log(f"int8: {n_steps} steps in {n_steps / int8_rate:.2f}s")

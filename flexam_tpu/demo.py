@@ -135,9 +135,16 @@ def _build_models(args):
         cfg = WAN22_5B_FLEXAM
         dit = load_dit_checkpoint(
             os.path.join(args.checkpoint_path), cfg.dit, dtype=np.float32)
-        dit = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.bfloat16)
-            if a.dtype == np.float32 and a.ndim >= 2 else jnp.asarray(a), dit)
+        quant_active = quant or os.environ.get("FLEXAM_QUANT", "")
+        if quant_active in ("", "none", None):
+            # quantized modes hand the HOST tree to the pipeline, which
+            # quantizes with numpy and uploads int8/fp8 bytes — ~half a
+            # bf16 upload (pipeline._put_quantized); the unquantized path
+            # casts and uploads bf16 here as before
+            dit = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.bfloat16)
+                if a.dtype == np.float32 and a.ndim >= 2
+                else jnp.asarray(a), dit)
         vae = load_vae_checkpoint(
             os.path.join(args.checkpoint_path, "Wan2.2_VAE.pth"), cfg.vae)
         t5 = load_t5_checkpoint(

@@ -55,13 +55,31 @@ def _quantize_weight(w):
     return jnp.round(wf / scale).astype(jnp.int8), scale[..., 0]
 
 
+def _quantize_weight_host(w):
+    """Numpy twin of `_quantize_weight` (same fp32 math, same
+    round-half-to-even) for HOST checkpoint trees: quantizing before the
+    upload ships int8 bytes over the link — ~half a bf16 upload, ~quarter
+    an fp32 one — instead of uploading wide and quantizing on-device."""
+    import numpy as np
+    wf = np.asarray(w, np.float32)
+    amax = np.max(np.abs(wf), axis=-1, keepdims=True)
+    scale = np.maximum(amax / 127.0, 1e-12)
+    return np.round(wf / scale).astype(np.int8), scale[..., 0]
+
+
 def quantize_linear_params(p: dict) -> dict:
     """{"weight": [..., out, in]} -> {"weight_q", "w_scale", "bias"?}.
 
     Works on scan-stacked weights ([L, out, in]) too: the scale is
     per-(layer, out-channel), amax over the contracting `in` axis.
+    Host (numpy) weights quantize with numpy — no device round-trip.
     """
-    w_q, w_scale = _quantize_weight(jnp.asarray(p["weight"]))
+    import numpy as np
+    w = p["weight"]
+    if isinstance(w, np.ndarray):
+        w_q, w_scale = _quantize_weight_host(w)
+    else:
+        w_q, w_scale = _quantize_weight(jnp.asarray(w))
     out = {"weight_q": w_q, "w_scale": w_scale}         # [..., out]
     if "bias" in p and p["bias"] is not None:
         out["bias"] = p["bias"]

@@ -129,6 +129,34 @@ class FlexAMModels:
     t5_from_checkpoint: bool = False
 
 
+def _put_quantized(tree, wide_dtype=jnp.bfloat16):
+    """Upload a quantized HOST (numpy) parameter tree to device.
+
+    Checkpoint loaders return numpy trees; `convert_dit_to_int8` /
+    `convert_weights_to_fp8` quantize numpy leaves host-side, and this
+    ships the result: int8/fp8 leaves at storage width (~half the bytes
+    of a bf16 upload, ~quarter of fp32 — the 5B's block linears are
+    4.6 GB int8 vs 9.3 GB bf16 over a ~75 MB/s tunnel), remaining fp32
+    matrices cast to `wide_dtype` host-side first (the demo loader's
+    rule) so fp32 bytes never cross the link. Quantization scales
+    (`w_scale`) stay fp32. Device trees pass through untouched — the
+    on-device quantize path (random-init benches, already-resident
+    weights) is unchanged."""
+    def visit(key, node):
+        if isinstance(node, dict):
+            return {k: visit(k, v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            out = [visit(key, v) for v in node]
+            return tuple(out) if isinstance(node, tuple) else out
+        if isinstance(node, np.ndarray):
+            if (node.dtype == np.float32 and node.ndim >= 2
+                    and key != "w_scale"):
+                return jnp.asarray(node, wide_dtype)
+            return jnp.asarray(node)
+        return node
+    return visit("", tree)
+
+
 # `pipelines.py:1170` — the reference's hardcoded default negative prompt.
 DEFAULT_NEGATIVE_PROMPT = (
     "Bright tones, overexposed, static, blurred details, subtitles, style, "
@@ -174,16 +202,19 @@ class FlexAMGenerationPipeline:
         if quant == "int8":
             from flexam_tpu.ops.qlinear import convert_dit_to_int8
             if models.dit_params is not None:
-                models.dit_params = convert_dit_to_int8(models.dit_params)
+                models.dit_params = _put_quantized(
+                    convert_dit_to_int8(models.dit_params))
             if models.dit2_params is not None:
-                models.dit2_params = convert_dit_to_int8(models.dit2_params)
+                models.dit2_params = _put_quantized(
+                    convert_dit_to_int8(models.dit2_params))
         elif quant == "fp8":
             from flexam_tpu.utils.fp8 import convert_weights_to_fp8
             if models.dit_params is not None:
-                models.dit_params = convert_weights_to_fp8(models.dit_params)
+                models.dit_params = _put_quantized(
+                    convert_weights_to_fp8(models.dit_params))
             if models.dit2_params is not None:
-                models.dit2_params = convert_weights_to_fp8(
-                    models.dit2_params)
+                models.dit2_params = _put_quantized(
+                    convert_weights_to_fp8(models.dit2_params))
         elif quant not in ("", "none"):
             raise ValueError(f"unknown quant mode {quant!r} "
                              "(supported: 'int8', 'fp8')")

@@ -87,12 +87,17 @@ def enable_compile_cache():
     log(f"persistent compile cache on: {cache_dir}")
 
 
-def fast_random_params(init_fn, dtype):
+def fast_random_params(init_fn, dtype, tag="init"):
     """Random params from the shape skeleton in ONE fused jit — the
     structured xavier init compiles ~10 min on a 1-core host (same trick
-    as bench.py)."""
+    as bench.py). Even the fused-RNG jit compiles for ~2 min at 5B scale
+    (1100+ rng ops), so it routes through the executable cache: a warm
+    .aot_cache turns the 135 s "DiT init" of a fresh serving process
+    into a sub-second load."""
     import jax
     import jax.numpy as jnp
+
+    from flexam_tpu.utils.aot_cache import aot_call
 
     skeleton = jax.eval_shape(lambda k: init_fn(k, dtype), jax.random.PRNGKey(0))
     leaves, treedef = jax.tree_util.tree_flatten(skeleton)
@@ -104,7 +109,7 @@ def fast_random_params(init_fn, dtype):
             (jax.random.normal(k, l.shape, jnp.float32) * 0.02).astype(l.dtype)
             for k, l in zip(keys, leaves)])
 
-    return make(jax.random.PRNGKey(0))
+    return aot_call(make, (jax.random.PRNGKey(0),), tag=tag)
 
 
 def synthetic_inputs(height, width, frames, n_side=3):
@@ -162,6 +167,11 @@ def main(argv=None):
         os.environ["FLEXAM_SPARSE_WINDOW"] = str(args.sparse_window)
     if args.aot_cache:
         os.environ["FLEXAM_AOT_CACHE"] = args.aot_cache
+    # configure the executable cache BEFORE param init so the fused-RNG
+    # init jits hit it too (the pipeline constructor configures it again,
+    # idempotently, for its own jits)
+    from flexam_tpu.utils import aot_cache
+    aot_cache.configure(None)            # reads FLEXAM_AOT_CACHE
 
     import jax
 

@@ -128,3 +128,69 @@ def test_pipeline_quant_flag():
     assert is_quantized(pipe.models.dit2_params)
     with pytest.raises(ValueError, match="quant"):
         FlexAMGenerationPipeline(models, quant="int4")
+
+
+def test_host_quantize_matches_device():
+    """Checkpoint trees arrive as numpy: `quantize_linear_params` must
+    quantize them HOST-side (no device round-trip) with results identical
+    to the on-device path, so prequantized uploads ship int8 bytes
+    (~half a bf16 upload) without changing the math."""
+    rng = np.random.RandomState(0)
+    w = rng.randn(3, 48, 64).astype(np.float32) * 0.3
+    b = rng.randn(3, 48).astype(np.float32)
+    q_host = quantize_linear_params({"weight": w, "bias": b})
+    q_dev = quantize_linear_params({"weight": jnp.asarray(w),
+                                    "bias": jnp.asarray(b)})
+    assert isinstance(q_host["weight_q"], np.ndarray)   # stayed on host
+    assert q_host["weight_q"].dtype == np.int8
+    np.testing.assert_array_equal(q_host["weight_q"],
+                                  np.asarray(q_dev["weight_q"]))
+    np.testing.assert_allclose(q_host["w_scale"],
+                               np.asarray(q_dev["w_scale"]), rtol=1e-7)
+
+
+def test_convert_dit_host_tree_and_upload():
+    """A numpy DiT tree quantizes fully host-side; `pipeline._put_quantized`
+    then uploads it with int8 leaves intact, fp32 matrices as bf16, and
+    quantization scales kept fp32."""
+    from flexam_tpu.models.dit import init_dit_params
+    from flexam_tpu.pipeline import _put_quantized
+
+    cfg = tiny_test_config().dit
+    params = jax.tree_util.tree_map(
+        np.asarray, init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    q = convert_dit_to_int8(params)
+    leaves = jax.tree_util.tree_leaves(q)
+    assert all(isinstance(l, np.ndarray) for l in leaves)   # no device work
+    dev = _put_quantized(q)
+    blk = dev["blocks"]["self_attn"]["q"]
+    assert isinstance(blk["weight_q"], jax.Array)
+    assert blk["weight_q"].dtype == jnp.int8
+    assert blk["w_scale"].dtype == jnp.float32              # scales stay wide
+    assert dev["patch_embedding"]["weight"].dtype == jnp.bfloat16
+    # the uploaded quantized tree computes like the device-quantized one
+    dev2 = convert_dit_to_int8(
+        jax.device_put(jax.tree_util.tree_map(
+            np.asarray, init_dit_params(jax.random.PRNGKey(0), cfg,
+                                        jnp.float32))))
+    np.testing.assert_array_equal(
+        np.asarray(blk["weight_q"]),
+        np.asarray(dev2["blocks"]["self_attn"]["q"]["weight_q"]))
+
+
+def test_host_fp8_tree_uploads_narrow():
+    """fp8 conversion also runs host-side on numpy trees; `_put_quantized`
+    ships the e4m3 bytes directly."""
+    from flexam_tpu.pipeline import _put_quantized
+    from flexam_tpu.utils.fp8 import convert_weights_to_fp8
+
+    rng = np.random.RandomState(1)
+    tree = {"ffn": {"fc1": {"weight": rng.randn(16, 8).astype(np.float32),
+                            "bias": rng.randn(16).astype(np.float32)}},
+            "norm": rng.randn(8).astype(np.float32)}
+    fp8 = convert_weights_to_fp8(tree)
+    assert isinstance(fp8["ffn"]["fc1"]["weight"], np.ndarray)
+    assert fp8["ffn"]["fc1"]["weight"].dtype == jnp.float8_e4m3fn
+    dev = _put_quantized(fp8)
+    assert dev["ffn"]["fc1"]["weight"].dtype == jnp.float8_e4m3fn
+    assert dev["norm"].dtype == jnp.float32                 # 1D stays wide
