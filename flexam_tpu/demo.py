@@ -45,6 +45,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="DiT weight quantization: int8 block GEMMs "
                         "(1.31x denoise, ~5.7 GB resident) or fp8 "
                         "storage (memory only); also via FLEXAM_QUANT")
+    p.add_argument("--prequant", type=str, default=None,
+                   help="prequantized DiT .npz from tools/prequant_ckpt "
+                        "(replaces the transformer weights from "
+                        "--checkpoint_path; narrow upload, no quantize "
+                        "pass at startup)")
     p.add_argument("--num_inference_steps", type=int, default=40)
     p.add_argument("--repaint", type=str, default=None)
     p.add_argument("--camera_motion", type=str, default=None)
@@ -120,6 +125,7 @@ def _build_models(args):
 
     # Namespace-style callers (serve.py) may omit the quant attribute
     quant = getattr(args, "quant", None)
+    prequant = getattr(args, "prequant", None)
 
     from flexam_tpu.config import WAN22_5B_FLEXAM, tiny_test_config
     from flexam_tpu.models.dit import init_dit_params
@@ -127,24 +133,46 @@ def _build_models(args):
     from flexam_tpu.models.vae import init_vae_params
     from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
 
+    def _load_prequant(path):
+        """Prequantized DiT .npz (tools/prequant_ckpt): returns the host
+        tree + the quant mode its leaves imply, so the pipeline's
+        conversion no-ops and `_put_quantized` ships the narrow bytes."""
+        import ml_dtypes
+
+        from flexam_tpu.io.checkpoints import restore_pytree_nested
+        from flexam_tpu.ops.qlinear import is_quantized
+        tree = restore_pytree_nested(path)
+        if is_quantized(tree):
+            return tree, "int8"
+        if any(getattr(l, "dtype", None) == ml_dtypes.float8_e4m3fn
+               for l in jax.tree_util.tree_leaves(tree)):
+            return tree, "fp8"
+        raise ValueError(
+            f"{path} holds no quantized leaves — produce it with "
+            "tools/prequant_ckpt, or load it via --checkpoint_path")
+
     tokenizer = None
     if args.checkpoint_path:
         from flexam_tpu.io.checkpoints import (load_dit_checkpoint,
                                                load_t5_checkpoint,
                                                load_vae_checkpoint)
         cfg = WAN22_5B_FLEXAM
-        dit = load_dit_checkpoint(
-            os.path.join(args.checkpoint_path), cfg.dit, dtype=np.float32)
-        quant_active = quant or os.environ.get("FLEXAM_QUANT", "")
-        if quant_active in ("", "none", None):
-            # quantized modes hand the HOST tree to the pipeline, which
-            # quantizes with numpy and uploads int8/fp8 bytes — ~half a
-            # bf16 upload (pipeline._put_quantized); the unquantized path
-            # casts and uploads bf16 here as before
-            dit = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a, jnp.bfloat16)
-                if a.dtype == np.float32 and a.ndim >= 2
-                else jnp.asarray(a), dit)
+        if prequant:
+            dit, quant = _load_prequant(prequant)
+        else:
+            dit = load_dit_checkpoint(
+                os.path.join(args.checkpoint_path), cfg.dit,
+                dtype=np.float32)
+            quant_active = quant or os.environ.get("FLEXAM_QUANT", "")
+            if quant_active in ("", "none", None):
+                # quantized modes hand the HOST tree to the pipeline,
+                # which quantizes with numpy and uploads int8/fp8 bytes —
+                # ~half a bf16 upload (pipeline._put_quantized); the
+                # unquantized path casts and uploads bf16 here as before
+                dit = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.bfloat16)
+                    if a.dtype == np.float32 and a.ndim >= 2
+                    else jnp.asarray(a), dit)
         vae = load_vae_checkpoint(
             os.path.join(args.checkpoint_path, "Wan2.2_VAE.pth"), cfg.vae)
         t5 = load_t5_checkpoint(
@@ -161,9 +189,12 @@ def _build_models(args):
     cfg = tiny_test_config() if args.random_init == "tiny" else WAN22_5B_FLEXAM
     dtype = jnp.float32 if args.random_init == "tiny" else jnp.bfloat16
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    dit_params = init_dit_params(k1, cfg.dit, dtype=dtype)
+    if prequant:        # smoke/test path: prequantized tiny tree + random rest
+        dit_params, quant = _load_prequant(prequant)
     models = FlexAMModels(
         cfg=cfg,
-        dit_params=init_dit_params(k1, cfg.dit, dtype=dtype),
+        dit_params=dit_params,
         vae_params=init_vae_params(k2, cfg.vae),
         t5_params=init_t5_params(k3, cfg.t5),
     )

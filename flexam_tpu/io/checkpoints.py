@@ -269,7 +269,8 @@ def load_t5_checkpoint(path: str, cfg: T5Config, dtype=np.float32) -> dict:
 
 def save_pytree(path: str, tree) -> None:
     """Flatten a params pytree to a single .npz keyed by '/'-joined paths
-    (bf16 leaves stored as uint16 views for numpy compatibility)."""
+    (bf16/fp8 leaves stored as uint16/uint8 views for numpy .npy-format
+    compatibility — int8 quantized trees need no translation)."""
     import jax
     import jax.numpy as jnp
 
@@ -286,6 +287,8 @@ def save_pytree(path: str, tree) -> None:
             arr = np.asarray(node)
             if arr.dtype == jnp.bfloat16:
                 flat[prefix + "::bf16"] = arr.view(np.uint16)
+            elif arr.dtype == jnp.float8_e4m3fn:
+                flat[prefix + "::f8e4m3"] = arr.view(np.uint8)
             else:
                 flat[prefix] = arr
 
@@ -302,9 +305,29 @@ def load_pytree_state_dict(path: str) -> Dict[str, np.ndarray]:
         for k in z.files:
             if k.endswith("::bf16"):
                 out[k[:-6]] = z[k].view(ml_dtypes.bfloat16)
+            elif k.endswith("::f8e4m3"):
+                out[k[:-8]] = z[k].view(ml_dtypes.float8_e4m3fn)
             else:
                 out[k] = z[k]
     return out
+
+
+def restore_pytree_nested(path: str) -> dict:
+    """Restore a save_pytree .npz WITHOUT a like-tree: '/'-joined paths
+    rebuild nested dicts. Used for trees whose structure differs from any
+    init skeleton — e.g. prequantized DiT trees ({weight_q, w_scale}
+    replacing {weight}; `tools/prequant_ckpt.py`). Caveat: list/tuple
+    nodes come back as dicts with stringified-index keys (model param
+    trees here are all-dict, so this does not arise)."""
+    flat = load_pytree_state_dict(path)
+    tree: dict = {}
+    for key, arr in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
 
 
 def restore_pytree(path: str, like) -> dict:
