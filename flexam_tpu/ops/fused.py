@@ -23,6 +23,17 @@ same bf16 cast points), verified by tests/test_fused_ops.py in interpret
 mode; production dispatch is gated on running on real TPU
 (`fused_enabled()`), with the unfused XLA path as the everywhere-else
 fallback.
+
+Multi-chip composition (round 5): GSPMD cannot auto-partition Mosaic
+custom calls, but both kernels are strictly PER-TOKEN — so under a
+>1-device activation mesh the public wrappers run the kernel inside a
+`shard_map` over ("dp","sp") (batch x token axes, the same layout
+`parallel.sharding.token_constraint` pins), one local Mosaic call per
+shard with zero collectives. This is the same composition the reference
+needs to stack paifuser kernels with xDiT sequence parallelism
+(`FlexAM/models/__init__.py:23-103` + `wan_transformer3d_FlexAM.py:
+801-815`). Shapes that do not divide the mesh fall back to the exact
+unfused composition (GSPMD partitions that freely).
 """
 
 from __future__ import annotations
@@ -41,25 +52,23 @@ from flexam_tpu.ops.pallas_util import out_sds as _out_sds
 
 def fused_enabled() -> bool:
     """Pallas elementwise fusions run on real TPU unless FLEXAM_FUSED
-    overrides (1 forces on — tests use interpret mode; 0 forces off).
+    overrides (1 forces on; "interpret" forces on in interpret mode —
+    the CPU-mesh dryrun/test path; 0 forces off).
 
     On TPU the kernels are additionally PROBED once with a tiny real
     call: the axon terminal's remote compile helper ships its own
     libtpu, and a version-skewed Mosaic can reject kernels our jaxlib
     emits (observed 2026-08-17: `layout.h:320` inferReshape abort). A
     failing probe disables the fusions for the process — the DiT falls
-    back to the unfused XLA path instead of crashing mid-denoise."""
+    back to the unfused XLA path instead of crashing mid-denoise.
+
+    Under a >1-device activation mesh the kernels stay ENABLED (round 5):
+    the public wrappers shard_map them per-shard (GSPMD never sees the
+    Mosaic custom call), so fused + sequence parallelism compose like the
+    reference's paifuser + xDiT stack."""
     env = os.environ.get("FLEXAM_FUSED")
     if env is not None:
-        return env == "1"
-    if _multichip_mesh_active():
-        # GSPMD cannot auto-partition Mosaic custom calls ("Mosaic
-        # kernels cannot be automatically partitioned") — under a
-        # multi-device activation mesh these single-chip elementwise
-        # kernels must stand down and the XLA path takes over (found by
-        # the round-4 v5e-8 topology-AOT of the sharded 5B step; the
-        # CPU dryrun never hit it because fused is off-platform there)
-        return False
+        return env in ("1", "interpret")
     try:
         if jax.devices()[0].platform != "tpu":
             return False
@@ -79,21 +88,39 @@ def fused_enabled() -> bool:
     return _fused_compiles()
 
 
-def _multichip_mesh_active() -> bool:
-    """True when `parallel.activation_sharding` holds a >1-device mesh
-    (the sharded-inference/training paths)."""
+def _force_interpret() -> bool:
+    """FLEXAM_FUSED=interpret runs the kernels in Pallas interpret mode —
+    how the CPU virtual-mesh dryrun exercises the fused-under-shard_map
+    production path without a TPU."""
+    return os.environ.get("FLEXAM_FUSED") == "interpret"
+
+
+def _active_mesh():
+    """The >1-device activation mesh installed by
+    `parallel.activation_sharding`, if any (None on single device)."""
+    if _PROBE_LOCAL:
+        return None
     try:
         from flexam_tpu.parallel import sharding as _sh
         mesh = _sh._ACTIVE_MESH
-        return mesh is not None and mesh.size > 1
+        if (mesh is not None and mesh.size > 1
+                and "dp" in mesh.shape and "sp" in mesh.shape):
+            return mesh
     except Exception:
-        return False
+        pass
+    return None
+
+
+_PROBE_LOCAL = False
 
 
 @functools.lru_cache(maxsize=1)
 def _fused_compiles() -> bool:
     import numpy as np
-    try:
+    global _PROBE_LOCAL
+    _PROBE_LOCAL = True       # probe the SINGLE-DEVICE kernel, not the
+    try:                      # shard_map wrap (tiny probe shapes don't
+                              # divide a mesh; restored in finally)
         x = jnp.ones((1, 8, 256), jnp.bfloat16)
         g = jnp.ones((256,), jnp.float32)
         cs = jnp.ones((8, 64), jnp.float32)
@@ -110,6 +137,8 @@ def _fused_compiles() -> bool:
         print("WARNING: fused Pallas kernels disabled — probe compile "
               f"failed on this toolchain: {str(e)[:160]}", flush=True)
         return False
+    finally:
+        _PROBE_LOCAL = False
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -297,15 +326,46 @@ def rmsnorm_rope(x: jnp.ndarray, gamma: jnp.ndarray, cos: jnp.ndarray,
 
     Returns [B, S, H, dh] (the attention layout). cos/sin are the
     [L_rot, dh/2] half-angle tables from `build_video_rope`; tokens
-    past L_rot pass through unrotated."""
+    past L_rot pass through unrotated.
+
+    Under a >1-device activation mesh the kernel runs per-shard inside a
+    `shard_map` over ("dp","sp") — the op is per-token, so each shard's
+    call is local (no collectives) and GSPMD never has to partition the
+    Mosaic custom call. Mesh-indivisible shapes fall back to the exact
+    unfused composition."""
     b, s, d = x.shape
     dh = d // num_heads
+    interpret = interpret or _force_interpret()
     cfull, sfull = _expand_rope_tables(cos, sin, s)
     # two kernel layouts: 4D (bs, H, dh) blocks vs full-width 2D with
     # head-tiled tables; FLEXAM_RMSROPE_2D=0/1 overrides the default
     call = (_rmsnorm_rope_call_2d
             if os.environ.get("FLEXAM_RMSROPE_2D", "0") == "1"
             else _rmsnorm_rope_call)
+    mesh = _active_mesh()
+    if mesh is not None:
+        dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+        if b % dp == 0 and s % sp == 0:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            # check_vma=False: the body is one LOCAL Mosaic call (no
+            # collectives, nothing to verify) and the Pallas interpret
+            # path (CPU dryrun/tests) rejects mixed-vma dynamic_slices
+            out = shard_map(
+                lambda x_l, g_l, c_l, s_l: call(
+                    x_l, g_l, c_l, s_l, num_heads, eps, interpret),
+                mesh=mesh,
+                in_specs=(P("dp", "sp", None), P(None),
+                          P("sp", None), P("sp", None)),
+                out_specs=P("dp", "sp", None), check_vma=False,
+            )(x, gamma, cfull, sfull)
+            return out.reshape(b, s, num_heads, dh)
+        # mesh-indivisible: exact unfused composition (GSPMD-friendly)
+        from flexam_tpu.core.layers import rms_norm as _rms
+        from flexam_tpu.core.rope import apply_rope as _rope
+        y = _rms(x, gamma, eps).reshape(b, s, num_heads, dh)
+        return _rope(y, cos, sin)
     out = call(x, gamma, cfull, sfull, num_heads, eps, interpret)
     return out.reshape(b, s, num_heads, dh)
 
@@ -428,6 +488,25 @@ def _ln_mod_bcast_call(x, shift, scale, eps, interpret):
     return out[:, :s]
 
 
+def _ln_mod_unfused(x, shift, scale, mask, eps):
+    """Kernel-identical math on plain XLA ops (the mesh-indivisible
+    fallback): fp32 pair-select, cast points as in the kernels."""
+    from flexam_tpu.core.layers import layer_norm as _ln
+    dtype = x.dtype
+    ln = _ln(x, eps=eps)
+    one = x.dtype.type(1.0)
+    if mask is not None:
+        m = mask.astype(jnp.float32)[:, :, None]               # [B, S, 1]
+        shf = shift.astype(jnp.float32)
+        scf = scale.astype(jnp.float32)
+        sh = m * shf[:, 0:1] + (1.0 - m) * shf[:, 1:2]
+        sc = m * scf[:, 0:1] + (1.0 - m) * scf[:, 1:2]
+        return (ln * (one + sc.astype(dtype)) + sh.astype(dtype)
+                ).astype(dtype)
+    return (ln * (one + scale.astype(dtype)[:, None])
+            + shift.astype(dtype)[:, None]).astype(dtype)
+
+
 def ln_modulation(x: jnp.ndarray, shift, scale,
                   mask: Optional[jnp.ndarray] = None, eps: float = 1e-6,
                   interpret: bool = False) -> jnp.ndarray:
@@ -436,10 +515,40 @@ def ln_modulation(x: jnp.ndarray, shift, scale,
     Binary-timestep mode (mask given): shift/scale are [B, 2, D] pairs and
     mask [B, S] selects row 0 (mask=1, the t branch) or row 1 per token —
     the fused form of `dit.py _block_forward`'s `term(i)` select.
-    Broadcast mode (mask None): shift/scale are [B, D] (or [B, 1, D])."""
-    if mask is not None:
-        return _ln_mod_binary_call(x, shift, scale, mask, eps, interpret)
-    if shift.ndim == 3:
+    Broadcast mode (mask None): shift/scale are [B, D] (or [B, 1, D]).
+
+    Under a >1-device activation mesh the kernel runs per-shard inside a
+    `shard_map` over ("dp","sp") (per-token op, local calls); shapes the
+    mesh does not divide fall back to `_ln_mod_unfused`."""
+    interpret = interpret or _force_interpret()
+    if mask is None and shift.ndim == 3:
         shift = shift[:, 0]
         scale = scale[:, 0]
+    mesh = _active_mesh()
+    if mesh is not None:
+        b, s, _ = x.shape
+        dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+        if b % dp != 0 or s % sp != 0:
+            return _ln_mod_unfused(x, shift, scale, mask, eps)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if mask is not None:
+            return shard_map(
+                lambda x_l, sh_l, sc_l, m_l: _ln_mod_binary_call(
+                    x_l, sh_l, sc_l, m_l, eps, interpret),
+                mesh=mesh,
+                in_specs=(P("dp", "sp", None), P("dp", None, None),
+                          P("dp", None, None), P("dp", "sp")),
+                out_specs=P("dp", "sp", None), check_vma=False,
+            )(x, shift, scale, mask)
+        return shard_map(
+            lambda x_l, sh_l, sc_l: _ln_mod_bcast_call(
+                x_l, sh_l, sc_l, eps, interpret),
+            mesh=mesh,
+            in_specs=(P("dp", "sp", None), P("dp", None), P("dp", None)),
+            out_specs=P("dp", "sp", None), check_vma=False,
+        )(x, shift, scale)
+    if mask is not None:
+        return _ln_mod_binary_call(x, shift, scale, mask, eps, interpret)
     return _ln_mod_bcast_call(x, shift, scale, eps, interpret)

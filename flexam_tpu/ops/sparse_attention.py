@@ -120,6 +120,42 @@ def rows_to_arrays(rows: Sequence[Sequence[int]]) -> Tuple[np.ndarray,
     return kidx, nnz
 
 
+def rows_to_block_mask(rows: Sequence[Sequence[int]]) -> np.ndarray:
+    """Dense [nb, nb] bool block mask from per-row active key lists —
+    the form `parallel.ring.ring_accumulate` consumes for the
+    block-sparse USP ring hops."""
+    nb = len(rows)
+    mask = np.zeros((nb, nb), bool)
+    for i, r in enumerate(rows):
+        mask[i, list(r)] = True
+    return mask
+
+
+def video_sparse_policy(
+    num_frames: int,
+    spatial_tokens: int,
+    ref_tokens: int = 0,
+    window: int = 2,
+    group: Optional[int] = None,
+) -> dict:
+    """Resolve the video sparsity policy once: {"rows", "blk",
+    "video_len"}. Shared by the single-chip `make_sparse_attn_fn` and
+    the sequence-parallel wrappers (`parallel.ulysses` inner /
+    `parallel.usp` sparse ring) so every path runs the SAME mask."""
+    if ref_tokens not in (0, spatial_tokens):
+        raise ValueError("ref_tokens must be 0 or == spatial_tokens")
+    rows = video_block_rows(num_frames, window=window,
+                            ref_block=ref_tokens > 0)
+    if group is None:
+        group = pick_group(len(rows), spatial_tokens,
+                           max_group=max(1, window))
+    blk = spatial_tokens * group
+    if group > 1:
+        rows = coarsen_rows(rows, group)
+    return {"rows": rows, "blk": blk,
+            "video_len": num_frames * spatial_tokens + ref_tokens}
+
+
 # --------------------------------------------------------------------------
 # kernel
 # --------------------------------------------------------------------------
@@ -338,17 +374,11 @@ def make_sparse_attn_fn(
     """
     from flexam_tpu.core.attention import attention as dense_attention
 
-    if ref_tokens not in (0, spatial_tokens):
-        raise ValueError("ref_tokens must be 0 or == spatial_tokens")
-    rows = video_block_rows(num_frames, window=window,
-                            ref_block=ref_tokens > 0)
-    video_len = num_frames * spatial_tokens + ref_tokens
-    if group is None:
-        group = pick_group(len(rows), spatial_tokens,
-                           max_group=max(1, window))
-    blk = spatial_tokens * group
-    if group > 1:
-        rows = coarsen_rows(rows, group)
+    policy = video_sparse_policy(num_frames, spatial_tokens,
+                                 ref_tokens=ref_tokens, window=window,
+                                 group=group)
+    rows, blk, video_len = (policy["rows"], policy["blk"],
+                            policy["video_len"])
     if interpret is None:
         # interpret mode off the TPU (CPU tests / debugging)
         try:

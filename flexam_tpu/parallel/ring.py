@@ -20,12 +20,20 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def ring_accumulate(q_l, k_l, v_l, axis: str, size: int,
-                    scale: float) -> jnp.ndarray:
+def ring_accumulate(q_l, k_l, v_l, axis: str, size: int, scale: float,
+                    block_mask=None, blk: int = 0) -> jnp.ndarray:
     """Exact cross-chip online-softmax over a named ring axis, inside a
     shard_map body. q_l/k_l/v_l: local shards [B, Lq, H, D]; KV rotates
     `size` hops with ppermute. Shared by ring SP and the Ulysses x ring
-    USP hybrid."""
+    USP hybrid.
+
+    Block-sparse mode (`block_mask` [nb, nb] bool over the FULL sequence
+    in `blk`-token blocks): each hop applies the sub-mask between this
+    rank's query slice and the hop's KV origin slice — the exact masked
+    semantics of `ops.sparse_attention` distributed over the ring, the
+    sparse half of the reference's paifuser + xDiT USP stack
+    (`FlexAM/models/__init__.py:44-48` + `ui/controller.py:63,89-95`).
+    Ranks hold CONTIGUOUS L/size token slices (the USP layout)."""
     qf = q_l.astype(jnp.float32) * scale
     # derive carries from qf so they inherit shard_map's varying
     # manual axes (fresh zeros are 'unvarying' and break the scan)
@@ -34,14 +42,31 @@ def ring_accumulate(q_l, k_l, v_l, axis: str, size: int,
     l0 = qbh[..., :1] * 0.0
     acc0 = qbh * 0.0
     perm = [(i, (i + 1) % size) for i in range(size)]
+    if block_mask is not None:
+        lq, lk = q_l.shape[1], k_l.shape[1]
+        assert blk > 0 and lq % blk == 0 and lk % blk == 0, (lq, lk, blk)
+        nbl_q, nbl_k = lq // blk, lk // blk
+        block_mask = jnp.asarray(block_mask, bool)
+        my = jax.lax.axis_index(axis)
 
-    def step(carry, _):
+    def step(carry, s):
         k_blk, v_blk, m, l, acc = carry
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32))
+        if block_mask is not None:
+            # KV held at step s originated at rank (my - s) mod size
+            origin = jax.lax.rem(my - s + size, size)
+            sub = jax.lax.dynamic_slice(
+                block_mask, (my * nbl_q, origin * nbl_k), (nbl_q, nbl_k))
+            mask_tok = jnp.repeat(jnp.repeat(sub, blk, 0), blk, 1)
+            logits = jnp.where(mask_tok[None, None], logits, -1e30)
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
         p = jnp.exp(logits - m_new)
+        if block_mask is not None:
+            # a hop where a row sees NO keys leaves m_new at -1e30 and
+            # exp(0)=1 would leak mass — zero the masked lanes explicitly
+            p = jnp.where(mask_tok[None, None], p, 0.0)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jnp.einsum(
@@ -51,8 +76,8 @@ def ring_accumulate(q_l, k_l, v_l, axis: str, size: int,
         return (k_nxt, v_nxt, m_new, l, acc), None
 
     (_, _, _, l, acc), _ = jax.lax.scan(
-        step, (k_l, v_l, m0, l0, acc0), None, length=size)
-    out = acc / l
+        step, (k_l, v_l, m0, l0, acc0), jnp.arange(size, dtype=jnp.int32))
+    out = acc / jnp.maximum(l, 1e-30)
     return jnp.einsum("bhqd->bqhd", out).astype(q_l.dtype)
 
 

@@ -84,23 +84,31 @@ def dit_param_shardings(mesh: Mesh, params) -> dict:
     """Megatron-style TP over the DiT block weights (stacked [L, out, in]):
     qkv/fc1 split the output dim, o/fc2 split the input dim over "tp".
     Everything else (embeddings, modulation, convs, head) is replicated —
-    they are tiny next to the block stack."""
+    they are tiny next to the block stack.
+
+    INT8-quantized trees (`ops/qlinear.convert_dit_to_int8`) shard the
+    same way: `weight_q` [L, out, in] follows `weight`; the per-out-
+    channel `w_scale` [L, out] follows the out axis for the column-split
+    linears (q/k/v/fc1) and REPLICATES for the row-split ones (o/fc2,
+    where TP splits the contraction dim — every tp shard needs every
+    output channel's scale to dequantize its int32 partial sums)."""
+    col_split = ("q", "k", "v", "fc1")      # TP splits the OUT dim
+    row_split = ("o", "fc2")                # TP splits the IN (contraction)
+
     def rule(path: str, leaf):
-        if re.search(r"blocks.*(self_attn|cross_attn)", path):
-            if path.endswith("q/weight") or path.endswith("k/weight") \
-                    or path.endswith("v/weight"):
-                return _ns(mesh, None, "tp", None)
-            if path.endswith("o/weight"):
-                return _ns(mesh, None, None, "tp")
-            if re.search(r"[qkv]/bias$", path):
+        if re.search(r"blocks.*(self_attn|cross_attn|ffn)", path):
+            parts = path.split("/")
+            parent, name = (parts[-2], parts[-1]) if len(parts) >= 2 \
+                else ("", parts[-1])
+            if name in ("weight", "weight_q"):
+                if parent in col_split:
+                    return _ns(mesh, None, "tp", None)
+                if parent in row_split:
+                    return _ns(mesh, None, None, "tp")
+            if name == "w_scale" and parent in col_split:
                 return _ns(mesh, None, "tp")
-        if re.search(r"blocks.*ffn", path):
-            if path.endswith("fc1/weight"):
-                return _ns(mesh, None, "tp", None)
-            if path.endswith("fc1/bias"):
+            if name == "bias" and parent in col_split:
                 return _ns(mesh, None, "tp")
-            if path.endswith("fc2/weight"):
-                return _ns(mesh, None, None, "tp")
         return _ns(mesh)   # replicated
 
     return _map_with_path(rule, params)

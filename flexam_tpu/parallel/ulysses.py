@@ -39,20 +39,33 @@ def make_ulysses_attention(
 
     Layout [B, L, H, D]; self-attention (Lq == Lk) runs the Ulysses
     all-to-all schedule; cross-attention (Lk != Lq) runs locally against
-    the replicated kv. num_heads must be divisible by the sp axis size.
+    the replicated kv. num_heads must be divisible by the sp axis size
+    (indivisible calls fall back to the inner dispatch).
+
+    `inner` sees the FULL sequence with H/sp heads after the all-to-all,
+    so the block-sparse video kernel composes directly:
+    `make_ulysses_attention(mesh, inner=make_sparse_attn_fn(...))` runs
+    the Pallas sparse kernel per shard — the sparse+SP stack the
+    reference builds from paifuser under xDiT
+    (`FlexAM/models/__init__.py:44-48` + `wan_transformer3d_FlexAM.py:
+    801-815`). The sparse inner's own non-video calls (cross-attention)
+    fall through to its dense dispatch unchanged.
     """
     sp = mesh.shape[seq_axis]
-    bspec = batch_axis
+    dp = mesh.shape[batch_axis] if batch_axis else 1
 
     def attn(q, k, v, k_len=None, scale=None):
         if sp == 1:
             return inner(q, k, v, k_len=k_len, scale=scale)
         b, lq, h, d = q.shape
         lk = k.shape[1]
+        # per-call shape guards: the cfg-skip tail drops the uncond half
+        # (batch 1 under dp=2 — replicate batch for those chunks), and
+        # geometries the mesh does not divide fall back to the inner
+        # dispatch (GSPMD partitions the XLA path freely)
+        bspec = batch_axis if (batch_axis and b % dp == 0) else None
 
-        if lq == lk:   # self-attention: Ulysses
-            assert h % sp == 0, (h, sp)
-
+        if lq == lk and lq % sp == 0 and h % sp == 0:   # Ulysses
             def local(q_l, k_l, v_l):
                 # [B, L/sp, H, D] -> [B, L, H/sp, D]
                 qh = jax.lax.all_to_all(q_l, seq_axis, split_axis=2,
@@ -70,14 +83,17 @@ def make_ulysses_attention(
             return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                              out_specs=spec)(q, k, v)
 
-        # cross-attention: kv replicated, tokens stay sp-sharded
-        def local_cross(q_l, k_r, v_r):
-            return inner(q_l, k_r, v_r, k_len=None, scale=scale)
+        if lq != lk and lq % sp == 0 and k_len is None:
+            # cross-attention: kv replicated, tokens stay sp-sharded
+            def local_cross(q_l, k_r, v_r):
+                return inner(q_l, k_r, v_r, k_len=None, scale=scale)
 
-        qspec = P(bspec, seq_axis, None, None)
-        kvspec = P(bspec, None, None, None)
-        return shard_map(local_cross, mesh=mesh,
-                         in_specs=(qspec, kvspec, kvspec),
-                         out_specs=qspec)(q, k, v)
+            qspec = P(bspec, seq_axis, None, None)
+            kvspec = P(bspec, None, None, None)
+            return shard_map(local_cross, mesh=mesh,
+                             in_specs=(qspec, kvspec, kvspec),
+                             out_specs=qspec)(q, k, v)
+
+        return inner(q, k, v, k_len=k_len, scale=scale)
 
     return attn

@@ -40,13 +40,36 @@ def make_usp_attention(
     ring_axis: str = "ring",
     batch_axis: Optional[str] = "dp",
     inner: Callable = default_attention,
+    sparse: Optional[dict] = None,
 ) -> Callable:
     """attn_fn(q, k, v, k_len=None, scale=None) for `dit_forward`, tokens
     sharded over ring_axis x ulysses_axis. num_heads must be divisible by
-    the ulysses degree."""
+    the ulysses degree.
+
+    `sparse`: an `ops.sparse_attention.video_sparse_policy` dict — video
+    self-attention calls (Lq == Lk == policy["video_len"]) then run the
+    block-sparse mask THROUGH the ring: each hop applies the sub-mask
+    between this rank's query slice and the hop's KV origin slice
+    (`ring.ring_accumulate(block_mask=...)`), exact w.r.t. the policy.
+    This is the sparse+SP composition the reference gets from paifuser's
+    sparse wrapper stacked under xDiT USP (`FlexAM/models/__init__.py:
+    44-48` + `wan_transformer3d_FlexAM.py:801-815`). For a pure-Ulysses
+    mesh (ring=1) prefer `make_ulysses_attention(mesh,
+    inner=make_sparse_attn_fn(...))` — the Pallas sparse kernel then
+    skips the masked FLOPs entirely per shard."""
     u = mesh.shape[ulysses_axis]
     r = mesh.shape[ring_axis]
     token_spec = P(batch_axis, (ring_axis, ulysses_axis), None, None)
+    block_mask = None
+    if sparse is not None:
+        from flexam_tpu.ops.sparse_attention import rows_to_block_mask
+        block_mask = rows_to_block_mask(sparse["rows"])
+        if sparse["video_len"] % (r * sparse["blk"]) != 0 \
+                or len(sparse["rows"]) % r != 0:
+            raise ValueError(
+                f"sparse policy does not tile the ring: video_len="
+                f"{sparse['video_len']}, blk={sparse['blk']}, "
+                f"nb={len(sparse['rows'])}, ring={r}")
 
     def attn(q, k, v, k_len=None, scale=None):
         d = q.shape[-1]
@@ -65,6 +88,9 @@ def make_usp_attention(
 
         assert h % u == 0, (h, u)
 
+        sparse_here = (block_mask is not None and lq == lk
+                       and lq == sparse["video_len"] and k_len is None)
+
         def local(q_l, k_l, v_l):
             if u > 1:
                 # heads<->seq exchange within the ulysses group
@@ -75,7 +101,10 @@ def make_usp_attention(
                 v_l = jax.lax.all_to_all(v_l, ulysses_axis, split_axis=2,
                                          concat_axis=1, tiled=True)
             if r > 1:
-                o = ring_accumulate(q_l, k_l, v_l, ring_axis, r, s)
+                o = ring_accumulate(
+                    q_l, k_l, v_l, ring_axis, r, s,
+                    block_mask=block_mask if sparse_here else None,
+                    blk=sparse["blk"] if sparse_here else 0)
             else:
                 o = inner(q_l, k_l, v_l, k_len=None, scale=s)
             if u > 1:

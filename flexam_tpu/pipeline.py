@@ -717,28 +717,60 @@ class FlexAMGenerationPipeline:
     # -- denoise -------------------------------------------------------------
 
     def _resolve_attn_fn(self, lt, lh, lw):
-        """Denoise-time attention resolution. Returns None (use
-        `self.attn_fn` inside the chunk jit) unless
-        `FLEXAM_ATTENTION=sparse` requests the block-sparse video kernel
-        AND no explicit attn_fn was injected; sparse closures are cached
-        per latent geometry so repeated denoise calls reuse the compiled
-        chunk executable (attn_fn is a static jit argument)."""
+        """Denoise-time attention resolution (None = `self.attn_fn`
+        inside the chunk jit). Two orthogonal upgrades, both skipped when
+        an explicit attn_fn was injected:
+
+          * `FLEXAM_ATTENTION=sparse` — the block-sparse video kernel for
+            this latent geometry (`ops/sparse_attention`);
+          * an active >1-device mesh with sp>1 — the Ulysses shard_map
+            wrapper (`parallel/ulysses.py`), so the per-shard Pallas
+            kernels never meet GSPMD (which cannot partition Mosaic
+            custom calls). When both apply the sparse closure rides as
+            the Ulysses INNER — the reference's paifuser-under-xDiT
+            stack (`FlexAM/models/__init__.py:23-103`).
+
+        Closures are cached per (mesh, geometry, window) so repeated
+        denoise calls reuse the compiled chunk executable (attn_fn is a
+        static jit argument)."""
         import os
         env = os.environ.get("FLEXAM_ATTENTION", "").lower()
-        if env not in ("sparse", "pallas_sparse") \
-                or self.attn_fn is not default_attention:
+        want_sparse = env in ("sparse", "pallas_sparse")
+        if self.attn_fn is not default_attention:
+            return None
+        from flexam_tpu.parallel import sharding as _sh
+        mesh = _sh._ACTIVE_MESH
+        sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+        use_mesh = mesh is not None and mesh.size > 1 and sp > 1
+        if not (want_sparse or use_mesh):
             return None
         cache = getattr(self, "_sparse_attn_cache", None)
         if cache is None:
             cache = self._sparse_attn_cache = {}
         window = int(os.environ.get("FLEXAM_SPARSE_WINDOW", "2"))
-        key = (lt, lh, lw, window)
+        key = (id(mesh) if use_mesh else None, lt, lh, lw, window,
+               want_sparse)
         if key not in cache:
-            from flexam_tpu.ops.sparse_attention import \
-                sparse_attn_fn_for_latent
-            cache[key] = sparse_attn_fn_for_latent(
-                (lt, lh, lw), patch=self.cfg.dit.patch_size,
-                has_ref=self.cfg.dit.add_ref_conv, window=window)
+            dcfg = self.cfg.dit
+            inner = None
+            if want_sparse:
+                from flexam_tpu.ops.sparse_attention import \
+                    sparse_attn_fn_for_latent
+                inner = sparse_attn_fn_for_latent(
+                    (lt, lh, lw), patch=dcfg.patch_size,
+                    has_ref=dcfg.add_ref_conv, window=window)
+            if use_mesh:
+                pt, ph, pw = dcfg.patch_size
+                spatial = (lh // ph) * (lw // pw)
+                video_len = (lt // pt) * spatial + (
+                    spatial if dcfg.add_ref_conv else 0)
+                if dcfg.num_heads % sp == 0 and video_len % sp == 0:
+                    from flexam_tpu.parallel.ulysses import \
+                        make_ulysses_attention
+                    inner = make_ulysses_attention(
+                        mesh, inner=inner or default_attention)
+                # else: keep GSPMD partitioning (inner stays as resolved)
+            cache[key] = inner
         return cache[key]
 
     def denoise(

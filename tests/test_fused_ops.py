@@ -161,3 +161,126 @@ def test_dit_forward_fused_binary_mask(monkeypatch):
                           binary_t_mask=mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip composition (round 5): the fused kernels run per-shard inside
+# a shard_map over the activation mesh instead of standing down — the
+# composition the reference needs to stack paifuser kernels with xDiT SP
+# (`FlexAM/models/__init__.py:23-103` + `wan_transformer3d_FlexAM.py:801-815`).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh():
+    from flexam_tpu.parallel import make_mesh
+    assert len(jax.devices()) >= 8
+    return make_mesh({"dp": 2, "sp": 2, "tp": 2},
+                     devices=jax.devices()[:8])
+
+
+def test_rmsnorm_rope_under_mesh(mesh):
+    """Sharded fused call (interpret kernels per shard) == unfused ref."""
+    from flexam_tpu.parallel import activation_sharding
+
+    b, s, heads, dh = 2, 48, 3, 128       # s=48 divides sp=2, b=2 / dp=2
+    d = heads * dh
+    x = jax.random.normal(jax.random.key(0), (b, s, d))
+    gamma = (1.0 + 0.1 * jax.random.normal(jax.random.key(1), (d,)))
+    tables = jnp.asarray(make_rope_tables(dh, 64))
+    cos, sin = build_video_rope(tables, (2, 4, 5), dh)
+    ref = _ref_rmsnorm_rope(x, gamma, cos, sin, heads)
+    with activation_sharding(mesh):
+        got = rmsnorm_rope(x, gamma, cos, sin, heads, interpret=True)
+    assert got.shape == (b, s, heads, dh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_ln_modulation_binary_under_mesh(mesh):
+    from flexam_tpu.parallel import activation_sharding
+
+    b, s, d = 2, 40, 256
+    x = jax.random.normal(jax.random.key(3), (b, s, d))
+    pair_sh = jax.random.normal(jax.random.key(4), (b, 2, d))
+    pair_sc = jax.random.normal(jax.random.key(5), (b, 2, d))
+    mask = (jax.random.uniform(jax.random.key(6), (b, s)) > 0.5
+            ).astype(jnp.float32)
+    ref = ln_modulation(x, pair_sh, pair_sc, mask=mask, interpret=True)
+    with activation_sharding(mesh):
+        got = ln_modulation(x, pair_sh, pair_sc, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_ln_modulation_bcast_under_mesh(mesh):
+    from flexam_tpu.parallel import activation_sharding
+
+    b, s, d = 2, 24, 256
+    x = jax.random.normal(jax.random.key(7), (b, s, d))
+    sh = jax.random.normal(jax.random.key(8), (b, 1, d))
+    sc = jax.random.normal(jax.random.key(9), (b, 1, d))
+    ref = ln_modulation(x, sh, sc, interpret=True)
+    with activation_sharding(mesh):
+        got = ln_modulation(x, sh, sc, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_fused_mesh_indivisible_fallback(mesh):
+    """Shapes the mesh does not divide take the exact unfused math."""
+    from flexam_tpu.parallel import activation_sharding
+
+    b, s, heads, dh = 1, 15, 2, 128       # b=1 < dp=2, s=15 % sp=2 != 0
+    d = heads * dh
+    x = jax.random.normal(jax.random.key(10), (b, s, d))
+    gamma = jnp.ones((d,))
+    tables = jnp.asarray(make_rope_tables(dh, 16))
+    cos, sin = build_video_rope(tables, (1, 2, 4), dh)
+    ref = _ref_rmsnorm_rope(x, gamma, cos, sin, heads)
+    with activation_sharding(mesh):
+        got = rmsnorm_rope(x, gamma, cos, sin, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    sh = jax.random.normal(jax.random.key(11), (b, 2, d))
+    sc = jax.random.normal(jax.random.key(12), (b, 2, d))
+    mask = (jax.random.uniform(jax.random.key(13), (b, s)) > 0.5
+            ).astype(jnp.float32)
+    ref = ln_modulation(x, sh, sc, mask=mask, interpret=True)
+    with activation_sharding(mesh):
+        got = ln_modulation(x, sh, sc, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_dit_forward_fused_under_mesh(monkeypatch):
+    """Full DiT forward, fused kernels engaged under a dp2 x sp2 x tp2
+    mesh (FLEXAM_FUSED=interpret — the dryrun's production-path mode),
+    vs the single-device unfused forward."""
+    from flexam_tpu.config import DiTConfig
+    from flexam_tpu.models.dit import dit_forward, init_dit_params
+    from flexam_tpu.parallel import (activation_sharding,
+                                     dit_param_shardings, make_mesh,
+                                     shard_pytree)
+
+    mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2},
+                     devices=jax.devices()[:8])
+    cfg = DiTConfig(dim=256, ffn_dim=512, num_heads=2, num_layers=2,
+                    in_dim=8, out_dim=4, text_dim=32, text_len=6,
+                    freq_dim=32, add_ref_conv=False, add_cnn_block=False)
+    params = init_dit_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 2, 4, 4))
+    t = jnp.asarray([500.0, 500.0])
+    ctx = jax.random.normal(jax.random.key(2), (2, 6, 32))
+    dens = jnp.asarray([0.1, 0.1])
+
+    monkeypatch.setenv("FLEXAM_FUSED", "0")
+    ref = dit_forward(params, cfg, x, t, ctx, density=dens)
+    monkeypatch.setenv("FLEXAM_FUSED", "interpret")
+    sharded = shard_pytree(params, dit_param_shardings(mesh, params))
+    with activation_sharding(mesh):
+        got = jax.jit(
+            lambda p, *a: dit_forward(p, cfg, *a, density=dens)
+        )(sharded, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)

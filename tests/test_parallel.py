@@ -215,3 +215,164 @@ def test_usp_inside_dit_forward(usp_mesh):
                       attn_fn=attn)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the acceleration stack composed with the multi-chip path
+# (VERDICT r4 item 1) — sparse policy through Ulysses/USP, int8-quantized
+# trees under TP sharding rules.
+# ---------------------------------------------------------------------------
+
+def test_sparse_inner_through_ulysses(mesh):
+    """Block-sparse video attention as the Ulysses inner: after the
+    heads<->seq all-to-all each shard sees the FULL sequence, so the
+    sparse kernel runs unchanged per shard. Parity vs the single-device
+    masked-dense semantics (the kernel's pinned reference)."""
+    from flexam_tpu.ops.sparse_attention import (make_sparse_attn_fn,
+                                                 masked_dense_attention,
+                                                 video_sparse_policy)
+
+    frames, spatial, window = 4, 16, 2
+    pol = video_sparse_policy(frames, spatial, ref_tokens=spatial,
+                              window=window, group=1)
+    l = pol["video_len"]
+    b, h, d = 2, 2, 128
+    rng = np.random.RandomState(7)
+    q = rng.randn(b, l, h, d).astype(np.float32) * 0.3
+    k = rng.randn(b, l, h, d).astype(np.float32) * 0.3
+    v = rng.randn(b, l, h, d).astype(np.float32)
+    ref = np.asarray(masked_dense_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        pol["rows"], pol["blk"]))
+
+    sparse_inner = make_sparse_attn_fn(frames, spatial,
+                                       ref_tokens=spatial, window=window,
+                                       group=1)
+    attn = make_ulysses_attention(mesh, inner=sparse_inner)
+    out = np.asarray(jax.jit(attn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sparse_ring_through_usp(usp_mesh):
+    """Block-sparse policy through the USP ring: each hop applies the
+    (query-slice x KV-origin-slice) sub-mask; exact vs masked dense."""
+    from flexam_tpu.parallel.usp import make_usp_attention
+    from flexam_tpu.ops.sparse_attention import (masked_dense_attention,
+                                                 video_sparse_policy)
+
+    frames, spatial, window = 7, 16, 1
+    pol = video_sparse_policy(frames, spatial, ref_tokens=spatial,
+                              window=window, group=1)
+    l = pol["video_len"]          # 8 blocks x 16 = 128; ring=2 -> 64/rank
+    b, h, d = 2, 2, 32
+    rng = np.random.RandomState(8)
+    q = rng.randn(b, l, h, d).astype(np.float32) * 0.3
+    k = rng.randn(b, l, h, d).astype(np.float32) * 0.3
+    v = rng.randn(b, l, h, d).astype(np.float32)
+    ref = np.asarray(masked_dense_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        pol["rows"], pol["blk"]))
+
+    attn = make_usp_attention(usp_mesh, inner=xla_attention, sparse=pol)
+    out = np.asarray(jax.jit(attn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    # non-video shapes (cross-attention) stay dense through the same fn
+    kc = rng.randn(b, 16, h, d).astype(np.float32)
+    vc = rng.randn(b, 16, h, d).astype(np.float32)
+    dense_ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(kc),
+                                         jnp.asarray(vc)))
+    out_c = np.asarray(jax.jit(attn)(q, kc, vc))
+    np.testing.assert_allclose(out_c, dense_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_usp_sparse_policy_ring_mismatch_raises(usp_mesh):
+    from flexam_tpu.parallel.usp import make_usp_attention
+    from flexam_tpu.ops.sparse_attention import video_sparse_policy
+
+    pol = video_sparse_policy(4, 16, ref_tokens=16, window=2, group=1)
+    # 5 blocks of 16 = 80 tokens: indivisible by ring=2 -> loud refusal
+    with pytest.raises(ValueError, match="ring"):
+        make_usp_attention(usp_mesh, sparse=pol)
+
+
+def test_ulysses_batch1_cfg_skip_tail(mesh):
+    """The cfg-skip tail runs batch=1 chunks under dp=2: the wrapper must
+    replicate the batch axis for those calls instead of failing."""
+    rng = np.random.RandomState(9)
+    b, l, h, d = 1, 64, 4, 32
+    q = rng.randn(b, l, h, d).astype(np.float32)
+    k = rng.randn(b, l, h, d).astype(np.float32)
+    v = rng.randn(b, l, h, d).astype(np.float32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    attn = make_ulysses_attention(mesh, inner=xla_attention)
+    out = np.asarray(jax.jit(attn)(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dit_params_int8_tp_sharding(mesh):
+    """Quantized trees shard under the same TP rules: weight_q follows
+    weight; w_scale follows the out-channel split for q/k/v/fc1 and
+    REPLICATES for o/fc2 (TP splits their contraction dim)."""
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import init_dit_params
+    from flexam_tpu.ops.qlinear import convert_dit_to_int8
+
+    cfg = tiny_test_config().dit
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = convert_dit_to_int8(params)
+    sharded = shard_pytree(params, dit_param_shardings(mesh, params))
+
+    qq = sharded["blocks"]["self_attn"]["q"]
+    assert ({s.data.shape for s in qq["weight_q"].addressable_shards}
+            == {(cfg.num_layers, cfg.dim // 2, cfg.dim)})
+    assert ({s.data.shape for s in qq["w_scale"].addressable_shards}
+            == {(cfg.num_layers, cfg.dim // 2)})
+    oo = sharded["blocks"]["self_attn"]["o"]
+    assert ({s.data.shape for s in oo["weight_q"].addressable_shards}
+            == {(cfg.num_layers, cfg.dim, cfg.dim // 2)})
+    # o's per-out-channel scales replicate (every tp shard dequantizes
+    # full output channels from its int32 partials)
+    assert ({s.data.shape for s in oo["w_scale"].addressable_shards}
+            == {(cfg.num_layers, cfg.dim)})
+    f1 = sharded["blocks"]["ffn"]["fc1"]
+    assert ({s.data.shape for s in f1["weight_q"].addressable_shards}
+            == {(cfg.num_layers, cfg.ffn_dim // 2, cfg.dim)})
+    f2 = sharded["blocks"]["ffn"]["fc2"]
+    assert ({s.data.shape for s in f2["w_scale"].addressable_shards}
+            == {(cfg.num_layers, cfg.dim)})
+
+
+def test_dit_forward_int8_under_mesh(mesh):
+    """Quantized DiT forward under the mesh (TP-sharded weight_q, Ulysses
+    attention) == the single-device quantized forward. int32 MXU partial
+    sums are exact under resharding, so tolerance is fp32-tight."""
+    from flexam_tpu.config import tiny_test_config
+    from flexam_tpu.models.dit import dit_forward, init_dit_params
+    from flexam_tpu.ops.qlinear import convert_dit_to_int8, is_quantized
+
+    cfg = tiny_test_config().dit
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = convert_dit_to_int8(params)
+    assert is_quantized(params)
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, cfg.in_dim, 2, 4, 4).astype(np.float32)
+    t = np.array([500.0, 500.0], np.float32)
+    ctx = rng.randn(2, cfg.text_len, cfg.text_dim).astype(np.float32) * 0.1
+
+    ref = np.asarray(dit_forward(params, cfg, x, t, ctx))
+    sharded = shard_pytree(params, dit_param_shardings(mesh, params))
+    attn = make_ulysses_attention(mesh, inner=xla_attention)
+    with activation_sharding(mesh):
+        out = np.asarray(jax.jit(
+            lambda p, *a: dit_forward(p, cfg, *a, attn_fn=attn)
+        )(sharded, x, t, ctx))
+    # int32 partial sums are exact under resharding, but the Ulysses
+    # attention's fp32 reduction order perturbs activations ~1e-7, which
+    # can flip a dynamic per-token round() by one int8 step on a few
+    # elements — bound the flip amplitude, and require the bulk exact
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=5e-2)
+    frac_tight = np.mean(np.abs(out - ref) <= 1e-4 + 1e-4 * np.abs(ref))
+    assert frac_tight > 0.95, frac_tight
