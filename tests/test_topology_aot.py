@@ -26,10 +26,11 @@ def test_aot_compiles_sharded_step_for_v5e8(tmp_path):
     assert blob.stat().st_size == res["serialized_bytes"]
 
 
-def test_fused_kernels_stand_down_under_mesh(monkeypatch):
-    """GSPMD cannot auto-partition Mosaic custom calls: under a
-    multi-device activation mesh the fused elementwise kernels must
-    disable themselves (found by the v5e-8 topology AOT)."""
+def test_fused_kernels_compose_with_mesh(monkeypatch):
+    """Round 5 (VERDICT r4 item 1a): the fused elementwise kernels no
+    longer stand down under a multi-device mesh — the wrappers shard_map
+    them per-shard, so `fused_enabled()` stays on and `_active_mesh()`
+    reports the mesh the wrappers will map over."""
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -37,14 +38,33 @@ def test_fused_kernels_stand_down_under_mesh(monkeypatch):
     from flexam_tpu.ops import fused
     from flexam_tpu.parallel.sharding import activation_sharding
 
-    monkeypatch.delenv("FLEXAM_FUSED", raising=False)
-    devs = np.asarray(jax.devices()[:1])
+    monkeypatch.setenv("FLEXAM_FUSED", "1")
+    assert fused._active_mesh() is None
     if len(jax.devices()) >= 2:
         mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1, 1),
                     ("dp", "sp", "tp"))
         with activation_sharding(mesh):
-            assert fused.fused_enabled() is False
-    # single-device mesh does not disable (no partitioning needed)
-    mesh1 = Mesh(devs.reshape(1, 1, 1), ("dp", "sp", "tp"))
+            assert fused.fused_enabled() is True
+            assert fused._active_mesh() is mesh
+    # single-device mesh: no wrap needed, kernels call directly
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                 ("dp", "sp", "tp"))
     with activation_sharding(mesh1):
-        assert fused._multichip_mesh_active() is False
+        assert fused._active_mesh() is None
+
+
+def test_aot_compiles_accelerated_sharded_step(tmp_path):
+    """The ACCELERATED sharded step (int8 linears + sparse Ulysses inner
+    + fused per-shard prologues) must compile for the real v5e:2x4
+    target — the composition VERDICT r4 item 1 requires."""
+    try:
+        from jax.experimental import topologies
+        topologies.get_topology_desc("v5e:2x4", "tpu")
+    except Exception as e:                       # pragma: no cover - env
+        pytest.skip(f"no compile-only TPU client here: {e}")
+
+    from flexam_tpu.tools.topology_aot import aot_compile_denoise_step
+
+    res = aot_compile_denoise_step(full_5b=False, quant=True, sparse=True,
+                                   fused=True)
+    assert res["code_bytes"] > 0
