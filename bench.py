@@ -61,26 +61,29 @@ def _cache_is_safe(cache_dir: str, timeout_s: float = 75.0) -> bool:
 
 
 # last driver-independent measured value (update whenever a fresh capture
-# lands in BASELINE.md) — emitted with an explicit stale marker when the
-# tunnel is down so an outage never yields a null/unparseable record
-# (VERDICT r3 item 2: BENCH_r03 was rc=124/parsed=null after a 26-min
-# outage wait).
+# lands in BASELINE.md) — referenced (under `last_known`, with value=null
+# in the primary field so no consumer mistakes it for a fresh
+# measurement — advisor r4) when the tunnel is down, so an outage never
+# yields an unparseable record (VERDICT r3 item 2: BENCH_r03 was
+# rc=124/parsed=null after a 26-min outage wait).
 LAST_KNOWN = {
-    "value": 0.4734, "unit": "steps/s", "round": 3,
-    "source": "BASELINE.md round-3 fused-kernel row (probe-gated, "
-              "artifacts_medians_r3.log)",
+    "value": 0.4732, "int8_value": 0.6215, "unit": "steps/s", "round": 4,
+    "source": "BASELINE.md round-4 rows, independently re-measured by the "
+              "round-4 review (dense 0.4732 / int8 0.6215 steps/s)",
 }
 
 PROBE_HISTORY = []
 
 
 def _emit_failure(reason: str):
-    """One parseable JSON line on stdout even when no measurement ran."""
+    """One parseable JSON line on stdout even when no measurement ran.
+    value is null — the real number rides only under `last_known` so a
+    stale record can never be recorded as a fresh measurement."""
     print(json.dumps({
         "metric": "denoise_steps_per_sec_per_chip",
-        "value": LAST_KNOWN["value"],
+        "value": None,
         "unit": LAST_KNOWN["unit"],
-        "vs_baseline": round(LAST_KNOWN["value"] / (50.0 / 60.0 / 8.0), 3),
+        "vs_baseline": None,
         "ok": False,
         "stale": True,
         "reason": reason,
@@ -145,11 +148,50 @@ def main():
     # the failure record must flush BEFORE any outer watchdog fires
     if not _wait_for_tpu(float(os.environ.get("FLEXAM_BENCH_WAIT", 1200))):
         print("[bench] no device answered within the wait budget — "
-              "emitting last-known value with an explicit stale marker",
+              "emitting an explicit stale record",
               file=sys.stderr, flush=True)
         _emit_failure("tunnel down: no device probe succeeded within "
                       "the wait budget")
         sys.exit(0)
+
+    # retry-once on a mid-measurement failure (VERDICT r4 item 2): the
+    # round-4 driver run died on a transient FAILED_PRECONDITION at the
+    # param-materialization fetch — the same fetch succeeded minutes
+    # later. A fresh device probe gates the retry so a hard outage goes
+    # straight to the stale record instead of burning the watchdog.
+    last_err = None
+    for attempt in (1, 2):
+        try:
+            record = _measure()
+            if attempt > 1:
+                record["retried"] = True
+            print(json.dumps(record), flush=True)
+            return
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except BaseException as e:          # noqa: BLE001
+            last_err = e
+            import traceback
+            traceback.print_exc()
+            if attempt == 1:
+                print("[bench] measurement attempt 1 failed "
+                      f"({type(e).__name__}); re-probing the device and "
+                      "retrying once", file=sys.stderr, flush=True)
+                import gc
+                gc.collect()
+                if not _wait_for_tpu(
+                        float(os.environ.get("FLEXAM_BENCH_RETRY_WAIT",
+                                             300))):
+                    break
+    # deliberate stale record -> exit 0 (the record itself carries
+    # ok=false; a nonzero rc would make the driver discard it)
+    _emit_failure(f"measurement failed after retry: "
+                  f"{type(last_err).__name__}: {last_err}")
+    sys.exit(0)
+
+
+def _measure() -> dict:
+    import sys
 
     import jax
     import jax.numpy as jnp
@@ -309,7 +351,7 @@ def main():
 
     target_per_chip = 50.0 / 60.0 / 8.0   # north star spread over 8 chips
     record["vs_baseline"] = round(steps_per_sec / target_per_chip, 3)
-    print(json.dumps(record))
+    return record
 
 
 if __name__ == "__main__":
@@ -317,8 +359,14 @@ if __name__ == "__main__":
         main()
     except SystemExit:
         raise
-    except BaseException as e:          # noqa: BLE001 — record, then re-raise
-        # a mid-measurement tunnel death must still leave a parseable
-        # record (VERDICT r3: an outage produced rc=124/parsed=null)
-        _emit_failure(f"measurement failed: {type(e).__name__}: {e}")
+    except KeyboardInterrupt:
         raise
+    except BaseException as e:          # noqa: BLE001
+        # anything that escaped main's retry loop (e.g. an import error
+        # before measurement) still leaves ONE parseable stale record,
+        # and rc=0 so the driver keeps it (VERDICT r4 item 2)
+        import traceback
+        traceback.print_exc()
+        _emit_failure(f"bench crashed outside the retry loop: "
+                      f"{type(e).__name__}: {e}")
+        raise SystemExit(0)

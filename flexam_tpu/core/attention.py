@@ -112,17 +112,32 @@ def _default_backend() -> str:
 _default_backend.cache_clear = _backend_choice.cache_clear
 
 
+_INT8_AUTO_ANNOUNCED = False
+
+
 def resolve_backend(lq: int, lk: int,
                     backend: Optional[str] = None) -> str:
     """Final backend for one call: an explicit arg or env choice wins;
     the auto 'pallas' default upgrades to int8 for long self-attention
-    (>= INT8_AUTO_MIN_TOKENS, the measured win regime)."""
+    (>= INT8_AUTO_MIN_TOKENS, the measured win regime). The upgrade is
+    an output-changing approximation (~1e-2 rel err), so its first
+    trigger is announced once per process with the opt-out (advisor
+    r4)."""
     if backend is not None:
         return backend
     backend, explicit = _backend_choice()
     if (not explicit and backend == "pallas" and lq == lk
             and lq >= INT8_AUTO_MIN_TOKENS
             and os.environ.get("FLEXAM_INT8_AUTO", "1") != "0"):
+        global _INT8_AUTO_ANNOUNCED
+        if not _INT8_AUTO_ANNOUNCED:
+            _INT8_AUTO_ANNOUNCED = True
+            import sys
+            print(f"[flexam] long-sequence self-attention ({lq} tokens >= "
+                  f"{INT8_AUTO_MIN_TOKENS}): auto-upgrading to the int8 "
+                  "flash kernel (~1e-2 rel err, +6-8% throughput; "
+                  "FLEXAM_INT8_AUTO=0 keeps the exact bf16 kernel)",
+                  file=sys.stderr, flush=True)
         return "pallas_int8"
     return backend
 

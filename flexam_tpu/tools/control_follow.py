@@ -299,12 +299,17 @@ def evaluate_adherence(stack: Dict, cases: Sequence[Tuple[np.ndarray,
                                                           np.ndarray]],
                        num_inference_steps: int = 20, seed: int = 7,
                        artifacts_dir: Optional[str] = None,
-                       attn_fn=None, quant: Optional[str] = None) -> List[Dict]:
+                       attn_fn=None, quant: Optional[str] = None,
+                       guidance_scale: float = 1.0) -> List[Dict]:
     """Generate from each held-out (p0, p1) case and score adherence.
     Each case is scored against its OWN track and against the other
     cases' tracks (the mismatched alternatives). `attn_fn`/`quant` let
     the quality-bound tests run the same evaluation through the sparse
-    attention kernel or int8 linears."""
+    attention kernel or int8 linears; `guidance_scale` > 1 runs the full
+    cond/uncond CFG pair (the production default is 6.0,
+    `/root/reference/pipelines.py:1174`) so approximation bounds can be
+    measured where cond/uncond error cancellation differs from the
+    guidance-free path (VERDICT r4 item 6)."""
     from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
 
     cfg = stack["cfg"]
@@ -331,7 +336,8 @@ def evaluate_adherence(stack: Dict, cases: Sequence[Tuple[np.ndarray,
         out = pipe.generate_from_cond(
             cond, jnp.asarray(stack["ctx"]),
             num_inference_steps=num_inference_steps,
-            guidance_scale=1.0, seed=seed, offload_dit_for_decode=False)
+            guidance_scale=guidance_scale, seed=seed,
+            offload_dit_for_decode=False)
         gen = np.asarray(out)[0]
         res = {"case": i, "p0": np.asarray(p0), "p1": np.asarray(p1),
                "centers": centers, "video": gen}

@@ -152,6 +152,13 @@ def main(argv=None):
                     metavar=("H", "W"))
     ap.add_argument("--frames", type=int, default=97)
     ap.add_argument("--guidance", type=float, default=6.0)
+    ap.add_argument("--riflex", type=int, default=None, metavar="K",
+                    help="RIFLEx long-video RoPE: rescale the K-th "
+                         "temporal frequency for this run's latent "
+                         "frame count (`pipe.enable_riflex`; reference "
+                         "`wan_transformer3d_FlexAM.py:774-799`). Use "
+                         "K=6 with --frames 161/225 for the long-video "
+                         "regime (VERDICT r4 item 5)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config smoke (CI / off-chip); pair with "
                          "--size 32 32 --frames 9 --steps 2")
@@ -216,6 +223,10 @@ def main(argv=None):
     frame, tracks = synthetic_inputs(h, w, args.frames)
     ctx = jnp.asarray(np.random.RandomState(0).randn(
         2, cfg.t5.text_length, cfg.dit.text_dim) * 0.02, jnp.bfloat16)
+    if args.riflex is not None:
+        lat_frames = 1 + (args.frames - 1) // cfg.vae.temporal_compression_ratio
+        pipe.enable_riflex(k=args.riflex, L_test=lat_frames)
+        log(f"RIFLEx on: k={args.riflex}, L_test={lat_frames}")
 
     init_s = round(time.perf_counter() - t0, 1)
     records = []
@@ -229,6 +240,9 @@ def main(argv=None):
             rec["sparse_window"] = args.sparse_window
         if args.cfg_skip:
             rec["cfg_skip"] = args.cfg_skip
+        if args.riflex is not None:
+            rec["riflex_k"] = args.riflex
+            rec["frames"] = args.frames
         t_run = time.perf_counter()
 
         t0 = time.perf_counter()
@@ -277,6 +291,9 @@ def main(argv=None):
         summary["sparse_window"] = args.sparse_window
     if args.cfg_skip:
         summary["cfg_skip"] = args.cfg_skip
+    if args.riflex is not None:
+        summary["riflex_k"] = args.riflex
+        summary["frames"] = args.frames
     print(json.dumps(summary), flush=True)
 
 

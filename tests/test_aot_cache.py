@@ -33,9 +33,9 @@ def test_roundtrip_and_fresh_instance_loads(tmp_path, monkeypatch):
     cache = aot_cache.AotCache(str(tmp_path))
     orig = aot_cache.AotCache._load_or_compile
 
-    def counting(self, jit_fn, args, kwargs, statics, tag):
+    def counting(self, jit_fn, args, kwargs, statics, tag, **kw):
         compiles.append(tag)
-        return orig(self, jit_fn, args, kwargs, statics, tag)
+        return orig(self, jit_fn, args, kwargs, statics, tag, **kw)
 
     monkeypatch.setattr(aot_cache.AotCache, "_load_or_compile", counting)
 
@@ -125,7 +125,9 @@ def test_complete_blob_despite_warm_hlo_cache(tmp_path):
                                                          "aot2"))))
         # fresh instance = fresh process stand-in: the aot2 blob must
         # deserialize AND execute (the fetch inside run() surfaces the
-        # missing-function failure)
+        # missing-function failure). configure() now no-ops on an
+        # unchanged path, so drop the instance explicitly first.
+        aot_cache.configure("")
         np.testing.assert_array_equal(ref, run(build(str(tmp_path /
                                                          "aot2"))))
     finally:
@@ -181,5 +183,77 @@ def test_pipeline_denoise_through_cache(tmp_path):
     np.testing.assert_array_equal(ref, cold)
     names = _entries(tmp_path)
     assert any(n.startswith("denoise_chunk") for n in names), names
+    aot_cache.configure("")      # force a fresh instance (process stand-in)
     warm = run(build(str(tmp_path)))
     np.testing.assert_array_equal(ref, warm)
+
+
+def test_configure_is_stable(tmp_path):
+    """Advisor r4: a second pipeline constructed with no aot_cache_dir
+    must not tear down a cache configured earlier in-process, and an
+    unchanged path must keep the SAME instance (its in-memory executable
+    table)."""
+    import os
+    assert os.environ.get("FLEXAM_AOT_CACHE") is None
+    c1 = aot_cache.configure(str(tmp_path))
+    assert aot_cache.configure(None) is c1           # no env, no path
+    assert aot_cache.configure(str(tmp_path)) is c1  # unchanged path
+    c2 = aot_cache.configure(str(tmp_path / "other"))
+    assert c2 is not c1
+    assert aot_cache.configure("") is None           # explicit disable
+
+
+def test_static_objects_pinned_against_id_reuse(tmp_path):
+    """Advisor r4 (medium): non-primitive statics are keyed by id() in
+    the mem table — the cache must hold strong references so a GC'd
+    config's id can never be recycled onto a live signature."""
+    import gc
+    import weakref
+
+    class Cfg:
+        scale = 3.0
+
+    cfg = Cfg()
+    jit = jax.jit(lambda x, c: x * c.scale, static_argnums=(1,))
+    cache = aot_cache.AotCache(str(tmp_path))
+    x = jnp.ones((2, 2))
+    cache.call(jit, (x, cfg), static_argnums=(1,), tag="pin")
+    ref = weakref.ref(cfg)
+    del cfg, jit
+    gc.collect()
+    assert ref() is not None      # the cache keeps the static alive
+
+
+def test_disk_loaded_executable_failing_first_execution_recompiles(
+        tmp_path, monkeypatch):
+    """VERDICT r4 weak 1: an entry that DESERIALIZES fine but fails at
+    its first execution (stale toolchain, incomplete serialize) must be
+    unlinked and recompiled, not crash every process the same way."""
+    jit = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((2, 3))
+    aot_cache.AotCache(str(tmp_path)).call(jit, (x,), tag="fx")
+    entry = next(p for p in tmp_path.iterdir() if p.suffix == ".jexec")
+    mtime_before = entry.stat().st_mtime_ns
+
+    from jax.experimental import serialize_executable as se
+
+    class Broken:
+        def __call__(self, *a, **k):
+            raise RuntimeError("Buffer Definition Event: Function "
+                               "wrapped_convert.9 not found")
+
+    real = se.deserialize_and_load
+    calls = {"n": 0}
+
+    def fake(*a, **k):
+        calls["n"] += 1
+        real(*a, **k)             # still exercise real deserialization
+        return Broken()
+
+    monkeypatch.setattr(se, "deserialize_and_load", fake)
+    out = aot_cache.AotCache(str(tmp_path)).call(jit, (x,), tag="fx")
+    np.testing.assert_array_equal(np.asarray(out), np.full((2, 3), 3.0))
+    assert calls["n"] == 1
+    # the stale entry was unlinked and replaced by the fresh compile's
+    # blob (same deterministic filename, rewritten)
+    assert entry.exists() and entry.stat().st_mtime_ns != mtime_before

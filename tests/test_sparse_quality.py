@@ -118,6 +118,38 @@ def test_int8_quant_quality_bound(stack, dense):
     assert c < 12.0, c
 
 
+def test_cfg6_quality_bound(stack):
+    """VERDICT r4 item 6: the r4 quality bounds were measured at
+    guidance 1.0 only, but production runs CFG 6.0
+    (`/root/reference/pipelines.py:1174`) where the cond/uncond pair's
+    approximation errors combine differently (the guided update
+    amplifies their DIFFERENCE by the guidance scale). Same trained
+    checkpoint, guidance 6.0: the accelerated config (int8 linears +
+    sparse w=2) must stay close to the dense CFG-6 output and hold the
+    adherence gate through the cond/uncond pair."""
+    dense6 = _run_cfg(stack, 6.0)
+    frames, spatial, ref = _latent_geometry(stack)
+    fn = make_sparse_attn_fn(frames, spatial, ref_tokens=ref,
+                             window=2, group=1, masked_dense=True)
+    acc6 = _run_cfg(stack, 6.0, attn_fn=fn, quant="int8")
+    p, s, c = _scores(acc6, dense6)
+    print(f"[cfg6 int8+sparse w=2] psnr {p:.1f} dB ssim {s:.3f} "
+          f"centroid_err {c:.1f} px")
+    assert p > 25.0, p
+    assert s > 0.9, s
+    assert c < 12.0, c
+    # the dense CFG-6 run itself keeps following its track (the gate is
+    # meaningful at production guidance, not just guidance-free)
+    assert max(r["centroid_err"] for r in dense6) < 12.0
+
+
+def _run_cfg(stack, guidance, attn_fn=None, quant=None):
+    return cf.evaluate_adherence(stack, cf.default_holdout_cases(),
+                                 num_inference_steps=20,
+                                 attn_fn=attn_fn, quant=quant,
+                                 guidance_scale=guidance)
+
+
 def test_combined_int8_sparse_quality_bound(stack, dense):
     """The accelerated serving config stacks BOTH approximations (int8
     linears + sparse attention at the default window): the combined
