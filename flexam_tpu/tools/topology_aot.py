@@ -12,6 +12,13 @@ Measured on this 1-core host (round 4): the FULL Wan2.2-5B denoise step —
 30-block scan, Pallas flash attention inside the Ulysses shard_map,
 dp2 x sp4 — compiles for `v5e:2x4` in ~36 s and serializes to ~21 MiB.
 
+Round 5 (VERDICT r4 item 4): the north-star `v5p-8` target (8 TensorCores
+= 4 megacore devices = topology `v5p:2x2x1`) compiles clean too, dp2 x
+sp2: dense 48 s (args 10.1 GB bf16), ACCELERATED (int8 linears + sparse
+Ulysses inner + fused per-shard prologues) 72 s, 27.5 MiB serialized,
+args 5.2 GB — the Mosaic tilings tuned on v5e (256-row blocks, 16 MB
+VMEM working budget) fit v5p's geometry without changes.
+
 Two product bugs this tool flushed out (both fixed):
   * Pallas `out_shape` needs the input's varying-mesh-axes set (`vma`)
     to trace under `jax.shard_map`'s default check_vma=True — all repo
