@@ -312,14 +312,12 @@ def load_pytree_state_dict(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def restore_pytree_nested(path: str) -> dict:
-    """Restore a save_pytree .npz WITHOUT a like-tree: '/'-joined paths
-    rebuild nested dicts. Used for trees whose structure differs from any
-    init skeleton — e.g. prequantized DiT trees ({weight_q, w_scale}
-    replacing {weight}; `tools/prequant_ckpt.py`). Caveat: list/tuple
-    nodes come back as dicts with stringified-index keys (model param
-    trees here are all-dict, so this does not arise)."""
-    flat = load_pytree_state_dict(path)
+def nest_flat_paths(flat: dict) -> dict:
+    """Rebuild a nested tree from '/'-joined flat paths (the save_pytree
+    layout). save_pytree flattens list/tuple nodes to stringified
+    indices; a dict whose keys are exactly the contiguous digits 0..n-1
+    is therefore converted back to a list, so int-indexed access (e.g.
+    the VAE's `downsamples`/`upsamples` lists) round-trips."""
     tree: dict = {}
     for key, arr in flat.items():
         parts = key.split("/")
@@ -327,7 +325,27 @@ def restore_pytree_nested(path: str) -> dict:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = arr
-    return tree
+
+    def delist(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: delist(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            idx = sorted(int(k) for k in node)
+            if idx == list(range(len(idx))):
+                return [node[str(i)] for i in idx]
+        return node
+
+    return delist(tree)
+
+
+def restore_pytree_nested(path: str) -> dict:
+    """Restore a save_pytree .npz WITHOUT a like-tree: '/'-joined paths
+    rebuild nested dicts (list/tuple nodes restore as lists — see
+    nest_flat_paths). Used for trees whose structure differs from any
+    init skeleton — e.g. prequantized DiT trees ({weight_q, w_scale}
+    replacing {weight}; `tools/prequant_ckpt.py`)."""
+    return nest_flat_paths(load_pytree_state_dict(path))
 
 
 def restore_pytree(path: str, like) -> dict:

@@ -22,11 +22,18 @@ floor with two levers:
                        transfer instead of preceding it (npz members
                        decode lazily on access — io/checkpoints.py
                        save_pytree layout).
+  serve bundle         --make-prequant --with-vae packs the fp32 VAE
+                       under vae/ AHEAD of dit/ in the same npz; the
+                       stream uploader prioritizes vae/ so the prepare
+                       stage starts after a ~10 s VAE upload instead of
+                       an 88 s on-device random-init compile (run-B
+                       TTFV breakdown, BASELINE.md round 5).
 
 Usage (flagship, on the chip):
-  python -m flexam_tpu.tools.cold_start --make-prequant /tmp/dit5b_int8.npz
-  python -m flexam_tpu.tools.cold_start --prequant /tmp/dit5b_int8.npz \
-      --aot-cache .aot_cache --overlap --upload-threads 4
+  python -m flexam_tpu.tools.cold_start --make-prequant /tmp/bundle.npz \
+      --with-vae
+  python -m flexam_tpu.tools.cold_start --prequant /tmp/bundle.npz \
+      --aot-cache .aot_cache --overlap --upload-threads 4 --stream-upload
 
 Emits one JSON line: every phase in seconds since PROCESS START
 (time-to-first-video is `ttfv_s`), plus the probe verdict so a degraded
@@ -55,11 +62,17 @@ def log(msg):
           file=sys.stderr, flush=True)
 
 
-def make_prequant(out_path: str) -> None:
+def make_prequant(out_path: str, with_vae: bool = False) -> None:
     """Write a flagship-shape prequantized int8 DiT .npz WITHOUT a real
     checkpoint (pure host work, values random): the artifact a deploy
     would produce with tools/prequant_ckpt from real weights. Upload and
-    compile timing are value-independent."""
+    compile timing are value-independent.
+
+    with_vae packs the fp32 VAE under a `vae/` prefix AHEAD of the
+    `dit/` tree — a single serve bundle. The stream uploader prioritizes
+    the `vae/` members, so the prepare stage starts ~10 s in (one small
+    upload) instead of paying an on-device random-init compile
+    (measured 88.6 s in the run-B TTFV breakdown)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")     # never touch the chip
@@ -78,21 +91,41 @@ def make_prequant(out_path: str) -> None:
     qskel = jax.eval_shape(convert_dit_to_int8, skeleton)
     rng = np.random.RandomState(0)
 
-    def leaf(path, sds):
+    def leaf(path, sds, force_bf16=False):
         shape = tuple(sds.shape)
         if path.endswith("weight_q"):
             return rng.randint(-127, 128, shape).astype(np.int8)
         if path.endswith("w_scale"):
             return np.full(shape, 0.01, np.float32)
+        dt = (ml_dtypes.bfloat16 if force_bf16
+              else np.float32 if sds.dtype == jnp.float32
+              else ml_dtypes.bfloat16)
         return (rng.rand(*shape).astype(np.float32) * 0.02 - 0.01
-                ).astype(ml_dtypes.bfloat16)
+                ).astype(dt)
 
-    def visit(prefix, node):
+    def visit(prefix, node, force_bf16=False):
         if isinstance(node, dict):
-            return {k: visit(f"{prefix}/{k}", v) for k, v in node.items()}
-        return leaf(prefix, node)
+            return {k: visit(f"{prefix}/{k}", v, force_bf16)
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [visit(f"{prefix}/{i}", v, force_bf16)
+                    for i, v in enumerate(node)]
+        return leaf(prefix, node, force_bf16)
 
     tree = visit("", qskel)
+    if with_vae:
+        from flexam_tpu.models.vae import init_vae_params
+        vskel = jax.eval_shape(
+            lambda k: init_vae_params(k, WAN22_5B_FLEXAM.vae),
+            jax.random.PRNGKey(1))
+        # dict order IS npz member order (save_pytree walks insertion
+        # order): vae first so the stream uploader resolves it early.
+        # Stored bf16 (~1.4 GB, a ~40 s leg at tunnel bandwidth) and
+        # cast back to fp32 ON DEVICE at arrival: fp32 storage put the
+        # 2.8 GB VAE upload right back on the critical path it was
+        # supposed to shorten (~80 s, no better than the 88 s random-
+        # init compile it replaces)
+        tree = {"vae": visit("", vskel, force_bf16=True), "dit": tree}
     n = sum(a.nbytes for a in jax.tree_util.tree_leaves(tree))
     save_pytree(out_path, tree)
     log(f"wrote {n / 1e9:.2f} GB prequantized 5B tree -> {out_path}")
@@ -126,11 +159,32 @@ def parallel_put(tree, n_threads: int):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def stream_upload_npz(path: str, n_threads: int):
+def _nest(flat: dict) -> dict:
+    from flexam_tpu.io.checkpoints import nest_flat_paths
+    return nest_flat_paths(flat)
+
+
+def stream_upload_npz(path: str, n_threads: int,
+                      priority_prefix: str = None,
+                      on_priority_ready=None,
+                      cast_wide_prefix: str = None):
     """Pipelined npz read -> device_put: the single host core decodes
     the next zip member while earlier members are already in flight on
     the tunnel, so disk decode and upload overlap instead of serialize.
-    Returns (nested device tree, total bytes)."""
+    Returns (nested device tree, total bytes).
+
+    priority_prefix members decode + upload FIRST; once the last of them
+    is resolved on device, `on_priority_ready(subtree)` fires from the
+    reader thread — a serve bundle's small `vae/` tree becomes usable
+    while the 5 GB `dit/` tree is still streaming.
+
+    cast_wide_prefix ("" = all members) applies `pipeline._put_quantized`'s
+    rule to matching members: fp32 matrices (ndim>=2, not w_scale) cast
+    to bf16 HOST-side. Without it the streamed tree can differ in leaf
+    dtypes from the restore+_put_quantized recipe, which silently changes
+    the lowered-HLO identity of every downstream executable (the round-5
+    cross-process aot-cache "miss" was exactly this recipe divergence —
+    identical processes key identically)."""
     import concurrent.futures as cf
 
     import jax
@@ -141,7 +195,12 @@ def stream_upload_npz(path: str, n_threads: int):
     n_bytes = 0
     with np.load(path) as z, cf.ThreadPoolExecutor(
             max_workers=max(n_threads, 1)) as ex:
-        for k in z.files:
+        files = list(z.files)
+        if priority_prefix:
+            files.sort(key=lambda k: not k.startswith(priority_prefix))
+        n_prio = sum(1 for k in files
+                     if priority_prefix and k.startswith(priority_prefix))
+        for idx, k in enumerate(files):
             arr = z[k]                    # zip decode (CPU-bound)
             if k.endswith("::bf16"):
                 key, arr = k[:-6], arr.view(ml_dtypes.bfloat16)
@@ -149,18 +208,23 @@ def stream_upload_npz(path: str, n_threads: int):
                 key, arr = k[:-8], arr.view(ml_dtypes.float8_e4m3fn)
             else:
                 key = k
+            if (cast_wide_prefix is not None
+                    and key.startswith(cast_wide_prefix)
+                    and arr.dtype == np.float32 and arr.ndim >= 2
+                    and not key.endswith("w_scale")):
+                arr = arr.astype(ml_dtypes.bfloat16)
             n_bytes += arr.nbytes
             futs[key] = ex.submit(jnp.asarray, arr)
+            if on_priority_ready is not None and idx + 1 == n_prio:
+                sub = {kk[len(priority_prefix):]: f.result()
+                       for kk, f in futs.items()
+                       if kk.startswith(priority_prefix)}
+                jax.block_until_ready(list(sub.values()))
+                on_priority_ready(_nest(sub))
+                on_priority_ready = None
         flat = {k: f.result() for k, f in futs.items()}
     jax.block_until_ready(list(flat.values()))
-    tree: dict = {}
-    for key, val in flat.items():
-        parts = key.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = val
-    return tree, n_bytes
+    return _nest(flat), n_bytes
 
 
 def main(argv=None):
@@ -168,6 +232,12 @@ def main(argv=None):
     ap.add_argument("--make-prequant", metavar="OUT.npz",
                     help="write a flagship-shape int8 npz (host-only) "
                          "and exit")
+    ap.add_argument("--with-vae", action="store_true",
+                    help="with --make-prequant: pack the fp32 VAE under "
+                         "vae/ ahead of dit/ (one serve bundle; the "
+                         "stream uploader prioritizes vae/ so prepare "
+                         "starts ~10 s in instead of paying an 88 s "
+                         "on-device random-init compile)")
     ap.add_argument("--prequant", metavar="NPZ",
                     help="prequantized DiT tree to serve")
     ap.add_argument("--aot-cache", default=None, metavar="DIR")
@@ -192,7 +262,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.make_prequant:
-        make_prequant(args.make_prequant)
+        make_prequant(args.make_prequant, with_vae=args.with_vae)
         return 0
     if not args.prequant:
         ap.error("--prequant or --make-prequant required")
@@ -229,6 +299,26 @@ def main(argv=None):
     rec["probe_done_s"] = round(time.perf_counter() - _T0, 1)
     log(f"probe: rtt {rec['probe_rtt_ms']} ms healthy={rec['healthy']}")
 
+    # a serve bundle packs the VAE under vae/ ahead of dit/ (one npz,
+    # --make-prequant --with-vae); detect from the zip directory alone
+    with np.load(args.prequant) as _z:
+        bundle = any(k.startswith("vae/") for k in _z.files[:4])
+    rec["bundle"] = bundle
+    import threading
+    vae_ready = threading.Event()
+    shared = {}
+
+    def _vae_arrived(subtree):
+        # bundles ship the VAE bf16 for upload bytes; compute wants fp32
+        # (device-side cast, ~free vs the link)
+        shared["vae"] = jax.tree_util.tree_map(
+            lambda a: (a.astype(jnp.float32)
+                       if a.dtype == jnp.bfloat16 else a), subtree)
+        rec["vae_upload_done_s"] = round(time.perf_counter() - _T0, 1)
+        log(f"bundle vae/ resolved on device "
+            f"(+{rec['vae_upload_done_s']}s)")
+        vae_ready.set()
+
     if args.stream_upload:
         host_dit = None
         n_bytes = os.path.getsize(args.prequant)   # ~= tree bytes (stored)
@@ -237,6 +327,9 @@ def main(argv=None):
     else:
         t0 = time.perf_counter()
         host_dit = restore_pytree_nested(args.prequant)
+        if bundle:
+            shared["host_vae"] = host_dit["vae"]
+            host_dit = host_dit["dit"]
         n_bytes = sum(a.nbytes
                       for a in jax.tree_util.tree_leaves(host_dit))
         rec["npz_load_s"] = round(time.perf_counter() - t0, 1)
@@ -247,10 +340,17 @@ def main(argv=None):
         t0 = time.perf_counter()
         if args.stream_upload:
             # read+upload pipelined: zip members decode on the host
-            # while earlier members are in flight on the tunnel
-            dev, nb = stream_upload_npz(args.prequant,
-                                        args.upload_threads)
+            # while earlier members are in flight on the tunnel; in a
+            # bundle the small vae/ tree streams FIRST and unblocks the
+            # prepare stage via `vae_ready` while dit/ is still in flight
+            dev, nb = stream_upload_npz(
+                args.prequant, args.upload_threads,
+                priority_prefix="vae/" if bundle else None,
+                on_priority_ready=_vae_arrived if bundle else None,
+                cast_wide_prefix="dit/" if bundle else "")
             rec["dit_gb"] = round(nb / 1e9, 2)
+            if bundle:
+                dev = dev["dit"]
         # host-side dtype translation (fp32 matrices -> bf16) happens in
         # _put_quantized; route the resulting jnp puts through N streams
         # by pre-converting and using parallel_put on the numpy tree
@@ -271,14 +371,25 @@ def main(argv=None):
     else:
         dit_dev = upload_dit()
 
-    # everything that does NOT need the DiT: VAE init/upload + the
+    # everything that does NOT need the DiT: VAE acquisition + the
     # prepare-stage jits (aot-loaded when the dir is warm) + the actual
-    # conditioning pipeline
+    # conditioning pipeline. A bundle ships the VAE (a ~10 s upload that
+    # streams FIRST); otherwise pay the on-device random-init compile
     t0 = time.perf_counter()
-    vae_params = fast_random_params(
-        lambda k, d: init_vae_params(k, cfg.vae), jnp.float32,
-        tag="vae_init")
-    jax.block_until_ready(jax.tree_util.tree_leaves(vae_params)[0])
+    if bundle and args.stream_upload:
+        vae_ready.wait()
+        vae_params = shared["vae"]
+    elif bundle:
+        vae_params = jax.tree_util.tree_map(
+            lambda a: (jnp.asarray(a, jnp.float32)
+                       if str(a.dtype) == "bfloat16" else jnp.asarray(a)),
+            shared.pop("host_vae"))
+        jax.block_until_ready(jax.tree_util.tree_leaves(vae_params)[0])
+    else:
+        vae_params = fast_random_params(
+            lambda k, d: init_vae_params(k, cfg.vae), jnp.float32,
+            tag="vae_init")
+        jax.block_until_ready(jax.tree_util.tree_leaves(vae_params)[0])
     rec["vae_init_s"] = round(time.perf_counter() - t0, 1)
 
     h, w = args.size

@@ -191,6 +191,10 @@ class AotCache:
                 (self._fp() + "\0" + hlo).encode()).hexdigest()[:32]
             fname = os.path.join(self.path, f"{tag}-{key}.jexec")
             trace_s = time.perf_counter() - t0
+            if os.environ.get("FLEXAM_AOT_DUMP_HLO"):
+                # diagnose cross-process key misses: diff these dumps
+                with open(fname.replace(".jexec", ".hlo.txt"), "w") as fh:
+                    fh.write(hlo)
         except Exception as e:                       # pragma: no cover -
             _log(f"{tag}: lowering for cache failed ({e!r}); "
                  "bypassing cache for this signature")
