@@ -49,7 +49,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="prequantized DiT .npz from tools/prequant_ckpt "
                         "(replaces the transformer weights from "
                         "--checkpoint_path; narrow upload, no quantize "
-                        "pass at startup)")
+                        "pass at startup); serve bundles (cold_start "
+                        "--make-prequant --with-vae) also carry the VAE")
     p.add_argument("--num_inference_steps", type=int, default=40)
     p.add_argument("--repaint", type=str, default=None)
     p.add_argument("--camera_motion", type=str, default=None)
@@ -134,19 +135,29 @@ def _build_models(args):
     from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
 
     def _load_prequant(path):
-        """Prequantized DiT .npz (tools/prequant_ckpt): returns the host
-        tree + the quant mode its leaves imply, so the pipeline's
-        conversion no-ops and `_put_quantized` ships the narrow bytes."""
+        """Prequantized DiT .npz (tools/prequant_ckpt): returns (host
+        tree, quant mode its leaves imply, bundle VAE or None), so the
+        pipeline's conversion no-ops and `_put_quantized` ships the
+        narrow bytes. Serve bundles (tools/cold_start --make-prequant
+        --with-vae) carry the VAE under vae/ — shipped bf16 and cast
+        fp32 ON DEVICE (fp32 host bytes never cross the link)."""
         import ml_dtypes
 
         from flexam_tpu.io.checkpoints import restore_pytree_nested
         from flexam_tpu.ops.qlinear import is_quantized
         tree = restore_pytree_nested(path)
+        bvae = None
+        if isinstance(tree, dict) and "dit" in tree and "vae" in tree:
+            bvae = jax.tree_util.tree_map(
+                lambda a: (jnp.asarray(a).astype(jnp.float32)
+                           if str(a.dtype) == "bfloat16"
+                           else jnp.asarray(a)), tree["vae"])
+            tree = tree["dit"]
         if is_quantized(tree):
-            return tree, "int8"
+            return tree, "int8", bvae
         if any(getattr(l, "dtype", None) == ml_dtypes.float8_e4m3fn
                for l in jax.tree_util.tree_leaves(tree)):
-            return tree, "fp8"
+            return tree, "fp8", bvae
         raise ValueError(
             f"{path} holds no quantized leaves — produce it with "
             "tools/prequant_ckpt, or load it via --checkpoint_path")
@@ -157,8 +168,9 @@ def _build_models(args):
                                                load_t5_checkpoint,
                                                load_vae_checkpoint)
         cfg = WAN22_5B_FLEXAM
+        bundle_vae = None
         if prequant:
-            dit, quant = _load_prequant(prequant)
+            dit, quant, bundle_vae = _load_prequant(prequant)
         else:
             dit = load_dit_checkpoint(
                 os.path.join(args.checkpoint_path), cfg.dit,
@@ -173,8 +185,10 @@ def _build_models(args):
                     lambda a: jnp.asarray(a, jnp.bfloat16)
                     if a.dtype == np.float32 and a.ndim >= 2
                     else jnp.asarray(a), dit)
-        vae = load_vae_checkpoint(
-            os.path.join(args.checkpoint_path, "Wan2.2_VAE.pth"), cfg.vae)
+        vae = (bundle_vae if bundle_vae is not None
+               else load_vae_checkpoint(
+                   os.path.join(args.checkpoint_path, "Wan2.2_VAE.pth"),
+                   cfg.vae))
         t5 = load_t5_checkpoint(
             os.path.join(args.checkpoint_path,
                          "models_t5_umt5-xxl-enc-bf16.pth"), cfg.t5)
@@ -190,12 +204,14 @@ def _build_models(args):
     dtype = jnp.float32 if args.random_init == "tiny" else jnp.bfloat16
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     dit_params = init_dit_params(k1, cfg.dit, dtype=dtype)
+    bundle_vae = None
     if prequant:        # smoke/test path: prequantized tiny tree + random rest
-        dit_params, quant = _load_prequant(prequant)
+        dit_params, quant, bundle_vae = _load_prequant(prequant)
     models = FlexAMModels(
         cfg=cfg,
         dit_params=dit_params,
-        vae_params=init_vae_params(k2, cfg.vae),
+        vae_params=(bundle_vae if bundle_vae is not None
+                    else init_vae_params(k2, cfg.vae)),
         t5_params=init_t5_params(k3, cfg.t5),
     )
     return FlexAMGenerationPipeline(

@@ -503,6 +503,11 @@ def main():
                         "(int8: 1.31x denoise + ~5.7 GB resident; fp8: "
                         "storage only) — the measured serving configs "
                         "(tools/serving_bench.py, BASELINE.md round 4)")
+    p.add_argument("--prequant", type=str, default=None,
+                   help="prequantized DiT .npz (tools/prequant_ckpt) or "
+                        "serve bundle with the VAE (tools/cold_start "
+                        "--make-prequant --with-vae): narrow upload, "
+                        "zero startup quantization")
     # client-side generation knobs (`ui/wan2_2_fun_ui.py:178-399` surface)
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--cfg", type=float, default=6.0)
@@ -524,7 +529,8 @@ def main():
             jax.config.update("jax_platforms", args.platform)
         pipe = _build_models(argparse.Namespace(
             checkpoint_path=args.checkpoint_path,
-            random_init=args.random_init, quant=args.quant))
+            random_init=args.random_init, quant=args.quant,
+            prequant=args.prequant))
         GenerationServer(pipe).serve(args.port)
     elif args.client:
         t = args.video_length

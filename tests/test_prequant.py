@@ -113,3 +113,31 @@ def test_demo_prequant_flag(tmp_path):
         ["--prompt", "x", "--random_init", "tiny", "--prequant", bad])
     with pytest.raises(ValueError, match="quantized"):
         _build_models(args)
+
+
+def test_demo_prequant_serve_bundle(tmp_path):
+    """A serve bundle (vae/ + dit/, tools/cold_start --with-vae layout)
+    through --prequant: the DiT arrives quantized AND the pipeline's VAE
+    is the bundle's (bf16-shipped, fp32 on device) — not a random init."""
+    import ml_dtypes
+
+    from flexam_tpu.demo import _build_models, build_argparser
+    from flexam_tpu.models.vae import init_vae_params
+    from flexam_tpu.ops.qlinear import convert_dit_to_int8
+
+    _, dit = _host_tiny_dit()
+    vae = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, ml_dtypes.bfloat16),
+        init_vae_params(jax.random.PRNGKey(7), tiny_test_config().vae))
+    path = str(tmp_path / "bundle.npz")
+    save_pytree(path, {"vae": vae, "dit": convert_dit_to_int8(dit)})
+
+    args = build_argparser().parse_args(
+        ["--prompt", "x", "--random_init", "tiny", "--prequant", path])
+    pipe = _build_models(args)
+    assert is_quantized(pipe.models.dit_params)
+    leaf = jax.tree_util.tree_leaves(pipe.models.vae_params)[0]
+    assert leaf.dtype == jnp.float32       # device-side upcast applied
+    ref = jax.tree_util.tree_leaves(vae)[0]
+    np.testing.assert_array_equal(
+        np.asarray(leaf), np.asarray(ref).astype(np.float32))
