@@ -300,7 +300,9 @@ def evaluate_adherence(stack: Dict, cases: Sequence[Tuple[np.ndarray,
                        num_inference_steps: int = 20, seed: int = 7,
                        artifacts_dir: Optional[str] = None,
                        attn_fn=None, quant: Optional[str] = None,
-                       guidance_scale: float = 1.0) -> List[Dict]:
+                       guidance_scale: float = 1.0,
+                       t_override: Optional[int] = None,
+                       riflex_k: Optional[int] = None) -> List[Dict]:
     """Generate from each held-out (p0, p1) case and score adherence.
     Each case is scored against its OWN track and against the other
     cases' tracks (the mismatched alternatives). `attn_fn`/`quant` let
@@ -309,11 +311,20 @@ def evaluate_adherence(stack: Dict, cases: Sequence[Tuple[np.ndarray,
     cond/uncond CFG pair (the production default is 6.0,
     `/root/reference/pipelines.py:1174`) so approximation bounds can be
     measured where cond/uncond error cancellation differs from the
-    guidance-free path (VERDICT r4 item 6)."""
+    guidance-free path (VERDICT r4 item 6).
+
+    `t_override` generates clips LONGER than the stack was trained on
+    (the length-extrapolation regime), and `riflex_k` enables RIFLEx for
+    the overridden latent frame count (`pipe.enable_riflex`, reference
+    `wan_transformer3d_FlexAM.py:774-799`) — together they extend the
+    quality gate to the long-video production config (VERDICT r4
+    item 5)."""
     from flexam_tpu.pipeline import FlexAMGenerationPipeline, FlexAMModels
 
     cfg = stack["cfg"]
     g = stack["geometry"]
+    if t_override is not None:
+        g = dict(g, T=int(t_override))
     dit_params = stack["dit_params"]
     if quant:
         # quantization rewrites the param tree in place; rebuild the
@@ -324,6 +335,9 @@ def evaluate_adherence(stack: Dict, cases: Sequence[Tuple[np.ndarray,
                           vae_params=stack["vae_params"])
     pipe = FlexAMGenerationPipeline(models, compute_dtype=jnp.float32,
                                     attn_fn=attn_fn, quant=quant)
+    if riflex_k is not None:
+        lt = 1 + (g["T"] - 1) // cfg.vae.temporal_compression_ratio
+        pipe.enable_riflex(k=riflex_k, L_test=lt)
     results = []
     for i, (p0, p1) in enumerate(cases):
         vid, centers = make_blob_clip(p0, p1, T=g["T"], H=g["H"], W=g["W"],

@@ -152,6 +152,12 @@ def main(argv=None):
                     metavar=("H", "W"))
     ap.add_argument("--frames", type=int, default=97)
     ap.add_argument("--guidance", type=float, default=6.0)
+    ap.add_argument("--steps-per-launch", type=int, default=None,
+                    help="denoise chunk length per device launch "
+                         "(pipeline.steps_per_launch, default 14). The "
+                         "tunnel watchdog kills executables > ~60 s, so "
+                         "long-sequence runs must shrink it: ~8 at 161f "
+                         "(18,816 tokens), ~5 at 225f (25,984 tokens)")
     ap.add_argument("--riflex", type=int, default=None, metavar="K",
                     help="RIFLEx long-video RoPE: rescale the K-th "
                          "temporal frequency for this run's latent "
@@ -218,6 +224,10 @@ def main(argv=None):
             pipe.models.dit_params)[0])
         log(f"quantize({quant}) {time.perf_counter() - t0:.1f}s")
     resident = args.mode != "bf16-offload"
+
+    if args.steps_per_launch is not None:
+        pipe.steps_per_launch = max(1, args.steps_per_launch)
+        log(f"steps_per_launch={pipe.steps_per_launch}")
 
     h, w = args.size
     frame, tracks = synthetic_inputs(h, w, args.frames)
