@@ -866,6 +866,7 @@ class FlexAMGenerationPipeline:
         # (50 steps x 2.6 s); chunk length is static so all full chunks
         # share one compiled executable
         spl = max(1, int(self.steps_per_launch))
+        spl = self._watchdog_safe_spl(spl, seq_len + l_ref)
         # denoise-run checkpoint/resume (a capability the reference lacks,
         # SURVEY.md §5.3 "No checkpoint-resume of a denoise run"): the
         # chunked launches make the full solver state snapshottable
@@ -938,6 +939,29 @@ class FlexAMGenerationPipeline:
     # flagship scale; the tunnel watchdog kills executables > ~60 s, so
     # 14 steps ≈ 35 s keeps margin while amortizing per-launch overhead)
     steps_per_launch = 14
+    # auto-shrink the chunk for sequences LONGER than the flagship
+    # 11,648 tokens the default was tuned at: per-step time grows
+    # ~0.5*r^2 + 0.5*r with r = tokens/11648 (quadratic attention band +
+    # linear GEMM band, v5e roofline in BASELINE.md), so a 14-step chunk
+    # at 161f/225f would blow the watchdog. Off = trust steps_per_launch.
+    auto_steps_per_launch = True
+    _SPL_REFERENCE_TOKENS = 11648
+
+    def _watchdog_safe_spl(self, spl: int, tokens: int) -> int:
+        """Shrink (never grow) the denoise chunk length so its device
+        time stays near the flagship-tuned budget at longer sequences
+        (the ~60 s executable watchdog applies to EVERY launch). The
+        safe length scales the TUNED default (14 steps @ 11,648 tokens),
+        so an explicit smaller steps_per_launch is never shrunk twice —
+        only capped by the geometry's own safe bound."""
+        if not self.auto_steps_per_launch:
+            return spl
+        r = tokens / float(FlexAMGenerationPipeline._SPL_REFERENCE_TOKENS)
+        if r <= 1.0:
+            return spl
+        safe = max(1, int(FlexAMGenerationPipeline.steps_per_launch
+                          / (0.5 * r * r + 0.5 * r)))
+        return min(spl, safe)
 
     @partial(jax.jit,
              static_argnums=(0, 16, 17, 18, 19, 20, 21, 22, 23, 24))

@@ -385,3 +385,32 @@ def test_flux_hashed_ids_refused_with_checkpoint_text(monkeypatch):
     rep.text_from_checkpoint = True
     with pytest.raises(RuntimeError, match="tokenizer"):
         rep.encode_text("hello")
+
+
+def test_watchdog_safe_steps_per_launch():
+    """Long-sequence denoise auto-shrinks the chunk length so a single
+    launch never outgrows the ~60 s executable watchdog the 14-step
+    default was tuned against at 11,648 tokens (v5e roofline: per-step
+    time grows ~0.5 r^2 + 0.5 r in r = tokens/11,648)."""
+    from flexam_tpu.pipeline import FlexAMGenerationPipeline as P
+    stub = type("S", (), {"auto_steps_per_launch": True})()
+    safe = P._watchdog_safe_spl
+    # flagship and smaller geometries: untouched
+    assert safe(stub, 14, 11648) == 14
+    assert safe(stub, 14, 448) == 14
+    # 161f RIFLEx (18,816 tokens): ~2.1x per-step -> 6-step chunks
+    assert safe(stub, 14, 18816) == 6
+    # 225f (25,984 tokens): ~3.6x per-step -> 3-step chunks
+    assert safe(stub, 14, 25984) == 3
+    # an explicit SMALLER spl is respected, only capped by the bound
+    assert safe(stub, 2, 25984) == 2
+    assert safe(stub, 5, 25984) == 3
+    # monotone in tokens, never below one step
+    prev = 14
+    for tok in (11648, 15000, 18816, 25984, 40000, 120000):
+        cur = safe(stub, 14, tok)
+        assert 1 <= cur <= prev
+        prev = cur
+    # opt-out trusts the caller
+    stub.auto_steps_per_launch = False
+    assert safe(stub, 14, 25984) == 14
